@@ -1,0 +1,85 @@
+"""Multi-host runtime init + host-level sync.
+
+Replaces the reference's rank/rendezvous layer (``torch_utils/distributed.py``:
+``init:14`` spawning env-var NCCL process groups, ``get_rank:35``,
+``print0:58``, stubs ``should_stop:48`` / ``update_progress:53``).  Under
+single-controller JAX there is one process per *host*; chips never appear as
+ranks.  Collectives live inside jitted programs (psum/all_gather emitted by
+XLA), so the only runtime duties left are:
+
+- ``init_distributed``: ``jax.distributed.initialize`` for multi-host pods
+  (no-op for single-process runs — the common local/test case),
+- ``print0`` / process-index helpers,
+- ``sync_hosts``: the "rank0 downloads first" barrier pattern
+  (``sid_training_loop.py:220-231``) via ``multihost_utils``.
+
+``should_stop`` / ``update_progress`` keep the reference's extension-point
+shape (cluster preemption hooks); wire them to your scheduler as needed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_initialized = False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialise the multi-host JAX runtime when running on >1 host.
+
+    Arguments default from env (JAX's own COORDINATOR_ADDRESS etc.).  Safe to
+    call unconditionally: single-process runs return immediately.
+    """
+    global _initialized
+    if _initialized:
+        return
+    explicit = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    multi_env = os.environ.get("JAX_NUM_PROCESSES") or num_processes
+    if explicit or (multi_env and int(multi_env) > 1):
+        jax.distributed.initialize(
+            coordinator_address=explicit,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    _initialized = True
+
+
+def get_process_index() -> int:
+    return jax.process_index()
+
+
+def get_process_count() -> int:
+    return jax.process_count()
+
+
+def print0(*args, **kwargs) -> None:
+    """Print only on process 0 (reference distributed.py:58)."""
+    if jax.process_index() == 0:
+        print(*args, **kwargs)
+
+
+def sync_hosts(name: str = "sync") -> None:
+    """Barrier across hosts (reference's torch.distributed.barrier sites)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def should_stop() -> bool:
+    """Cluster-requested graceful stop; polled once per tick
+    (reference sid_training_loop.py:591-594).  Hook for preemption signals."""
+    return os.path.exists(os.environ.get("SIDLSG_STOP_FILE", "/nonexistent-stop-file"))
+
+
+def update_progress(cur: int, total: int) -> None:
+    """Progress beacon for external schedulers (reference stub at
+    distributed.py:52-54)."""
+    del cur, total

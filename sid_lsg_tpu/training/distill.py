@@ -1,0 +1,292 @@
+"""The SiD-LSG distillation step as ONE jitted function.
+
+TPU-native redesign of the reference's hot loop
+(``training/sid_training_loop.py:383-565``): per iteration the reference runs
+two python phases — (a) fake-score psi update with a denoising loss on
+generator samples, (b) generator theta update with the score-identity loss —
+each with gradient accumulation, NaN row-masking, grad nan_to_num, Adam, then
+an EMA lerp.  Here all of it is a single ``train_step(state, teacher, batch,
+rng) -> (state, metrics)``:
+
+- gradient accumulation is a ``lax.scan`` over microbatches (the reference's
+  ``num_accumulation_rounds`` + ``ddp_sync`` no_sync dance,
+  ``sid_training_loop.py:245-250,416,487``),
+- NaN row-masking is branch-free ``jnp.where`` double-masking
+  (``:423-436,508-520``),
+- the per-sample python ``scheduler.step`` loop of the reference
+  (``sid_sd_util.py:270``) is vectorised inside ``sid_denoise``,
+- CFG batch-doubling keeps one large UNet matmul stream (``sid_sd_util.py:
+  258-265``) — resolved at trace time, so kappa==1 never pays for it,
+- data/FSDP parallelism is carried by the mesh shardings of the inputs; XLA
+  inserts all gradient collectives (no DDP object exists).
+
+Per accumulation round with all kappas != 1 this traces 8 UNet forwards and
+backprops through 5 of them (sampler + fake/teacher denoise pairs) — the same
+compute budget documented in SURVEY.md §3.1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.ddpm import DDPMScheduler
+from ..diffusion.sampling import sid_denoise, sid_sampler
+from .state import SiDState
+
+# unet_apply(params, latents_nhwc, timesteps, encoder_hidden_states) -> eps/v
+UNetApplyP = Callable[[Any, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class DistillConfig:
+    """Knobs of the distillation step; defaults = reference paper config
+    (``sid_train.py:96-133``, BASELINE.md)."""
+
+    latent_size: int = 64  # resolution // 8
+    latent_channels: int = 4
+    init_timestep: int = 625
+    tmin: int = 20
+    tmax: int = 980
+    cfg_train_fake: float = 1.0  # kappa1
+    cfg_eval_fake: float = 1.0  # kappa2 = kappa3
+    cfg_eval_real: float = 1.0  # kappa4
+    alpha: float = 1.0
+    loss_scaling: float = 1.0
+    loss_scaling_G: float = 1.0
+    num_steps: int = 1  # multistep generator (sid_sd_util.py:176-185)
+    batch_size: int = 512  # GLOBAL batch per iteration (EMA/nimg bookkeeping)
+    ema_halflife_kimg: float = 500.0
+    ema_rampup_ratio: Optional[float] = 0.05
+    context_dropout: float = 0.1
+    dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
+
+    @property
+    def use_context_dropout_fake(self) -> bool:
+        # Reference flag logic at sid_training_loop.py:208-212.
+        return self.cfg_train_fake != 1.0 or self.cfg_eval_fake != 1.0
+
+
+def ema_beta(cfg: DistillConfig, nimg: jnp.ndarray) -> jnp.ndarray:
+    """EMA decay with ramp-up (reference sid_training_loop.py:553-565)."""
+    halflife_nimg = jnp.asarray(cfg.ema_halflife_kimg * 1000.0, jnp.float32)
+    if cfg.ema_rampup_ratio is not None:
+        halflife_nimg = jnp.minimum(halflife_nimg, nimg * cfg.ema_rampup_ratio)
+    return 0.5 ** (cfg.batch_size / jnp.maximum(halflife_nimg, 1e-8))
+
+
+def _per_sample_finite(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, ...) -> (B,) bool: every element finite."""
+    return jnp.all(jnp.isfinite(x.reshape(x.shape[0], -1)), axis=-1)
+
+
+def _mask_rows(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Zero invalid rows so they contribute neither loss nor gradient."""
+    return jnp.where(valid.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
+
+
+def make_train_step(
+    unet_apply: UNetApplyP,
+    scheduler: DDPMScheduler,
+    cfg: DistillConfig,
+    opt_g: optax.GradientTransformation,
+    opt_fake: optax.GradientTransformation,
+):
+    """Build ``train_step(state, teacher_params, batch, rng)``.
+
+    ``batch`` (text already encoded — the text tower is frozen, so encoding
+    happens once per batch outside both phases, unlike the reference which
+    re-tokenises inside every denoise call):
+      - ``emb_fake``: (A, mb, L, D) prompt embeddings for the psi phase
+      - ``emb_g``:    (A, mb, L, D) prompt embeddings for the theta phase
+      - ``uncond_emb``: (L, D) embedding of the empty prompt
+    where A = accumulation rounds and mb = global microbatch.
+    """
+    v_pred = scheduler.config.prediction_type == "v_prediction"
+    lat_shape_of = lambda mb: (mb, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
+
+    def _draw(rng: jax.Array, mb: int):
+        r_z, r_n, r_t = jax.random.split(rng, 3)
+        z = jax.random.normal(r_z, lat_shape_of(mb), jnp.float32)
+        noise = jax.random.normal(r_n, lat_shape_of(mb), jnp.float32)
+        t = jax.random.randint(r_t, (mb,), cfg.tmin, cfg.tmax, jnp.int32)
+        init_t = jnp.full((mb,), cfg.init_timestep, jnp.int32)
+        return z, noise, t, init_t
+
+    def _generate(params_g, z, emb, init_t, rng):
+        apply = lambda x, t, c: unet_apply(params_g, x, t, c)
+        return sid_sampler(
+            apply, z, emb, init_t, scheduler,
+            num_steps=cfg.num_steps, rng=rng, dtype=cfg.dtype,
+        )
+
+    def _denoise(params, images, noise, emb, uncond_b, t, scale, predict_x0):
+        apply = lambda x, tt, c: unet_apply(params, x, tt, c)
+        return sid_denoise(
+            apply, images, noise, emb,
+            uncond_b if scale != 1.0 else None, t, scheduler,
+            guidance_scale=scale, predict_x0=predict_x0, dtype=cfg.dtype,
+        )
+
+    # ---------------- psi (fake score) phase -------------------------------
+    def _psi_loss(params_fake, images, noise, emb, uncond_b, t, denom):
+        noise_fake = _denoise(
+            params_fake, images, noise, emb, uncond_b, t,
+            cfg.cfg_train_fake, predict_x0=False,
+        )
+        valid = _per_sample_finite(noise_fake)
+        if v_pred:
+            target = scheduler.get_velocity(images, noise, t)
+            valid = valid & _per_sample_finite(target)
+        else:
+            target = noise
+        diff = _mask_rows(noise_fake, valid) - _mask_rows(target, valid)
+        per = jnp.sum(jnp.square(diff), axis=(1, 2, 3))
+        if v_pred:
+            snr = scheduler.snr(t)
+            per = per * snr / (snr + 1.0)
+        loss = jnp.sum(per) * (cfg.loss_scaling / denom)
+        return loss, (jnp.sum(valid), loss)
+
+    # ---------------- theta (generator) phase ------------------------------
+    def _g_loss(params_g, params_fake, teacher, z, noise, emb, uncond_b, t,
+                init_t, rng, denom):
+        images = _generate(params_g, z, emb, init_t, rng)
+        y_fake = _denoise(params_fake, images, noise, emb, uncond_b, t,
+                          cfg.cfg_eval_fake, predict_x0=True)
+        y_real = _denoise(teacher, images, noise, emb, uncond_b, t,
+                          cfg.cfg_eval_real, predict_x0=True)
+        valid = (
+            _per_sample_finite(images)
+            & _per_sample_finite(y_real)
+            & _per_sample_finite(y_fake)
+        )
+        x = _mask_rows(images, valid)
+        y_real = _mask_rows(y_real, valid)
+        y_fake = _mask_rows(y_fake, valid)
+        w = jax.lax.stop_gradient(
+            jnp.clip(jnp.mean(jnp.abs(x - y_real), axis=(1, 2, 3), keepdims=True), 1e-5)
+        )
+        if cfg.alpha == 1.0:
+            per = (y_real - y_fake) * (y_fake - x) / w
+        else:
+            per = (y_real - y_fake) * ((y_real - x) - cfg.alpha * (y_real - y_fake)) / w
+        per = jnp.sum(_mask_rows(per, valid), axis=(1, 2, 3))
+        loss = jnp.sum(per) * (cfg.loss_scaling_G / denom)
+        return loss, (jnp.sum(valid), loss)
+
+    def _dropout_context(rng, emb, uncond_b):
+        keep = jax.random.uniform(rng, (emb.shape[0],)) >= cfg.context_dropout
+        return jnp.where(keep[:, None, None], emb, uncond_b)
+
+    def _accumulate(grad_fn, params, embs, uncond_b, rng, use_dropout):
+        """lax.scan over accumulation rounds, summing normalised grads."""
+        a_rounds = embs.shape[0]
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+
+        def body(carry, inp):
+            grads_acc, loss_acc, n_acc = carry
+            emb, idx = inp
+            r = jax.random.fold_in(rng, idx)
+            r_drop, r_draw, r_multi = jax.random.split(r, 3)
+            if use_dropout:
+                emb = _dropout_context(r_drop, emb, uncond_b)
+            grads, (n_valid, loss) = grad_fn(params, emb, r_draw, r_multi)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss, n_acc + n_valid), None
+
+        (grads, loss_sum, n_valid), _ = jax.lax.scan(
+            body,
+            (zero_grads, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+            (embs, jnp.arange(a_rounds)),
+        )
+        return grads, loss_sum, n_valid
+
+    def train_step(
+        state: SiDState,
+        teacher_params: Any,
+        batch: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+    ) -> Tuple[SiDState, Dict[str, jnp.ndarray]]:
+        emb_fake = batch["emb_fake"]
+        emb_g = batch["emb_g"]
+        uncond = batch["uncond_emb"]
+        a_rounds, mb = emb_fake.shape[0], emb_fake.shape[1]
+        denom = float(a_rounds * mb)  # global-batch normalisation (see module doc)
+        uncond_b = jnp.broadcast_to(uncond, (mb,) + uncond.shape[-2:])
+        rng_fake, rng_g = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        # --- psi update (generator frozen: params_G enters via stop_gradient).
+        def psi_grad(params_fake, emb, r_draw, r_multi):
+            z, noise, t, init_t = _draw(r_draw, mb)
+            images = jax.lax.stop_gradient(
+                _generate(state.params_G, z, emb, init_t, r_multi)
+            )
+            return jax.grad(_psi_loss, has_aux=True)(
+                params_fake, images, noise, emb, uncond_b, t, denom
+            )
+
+        grads_f, loss_f, n_f = _accumulate(
+            psi_grad, state.params_fake, emb_fake, uncond_b, rng_fake,
+            cfg.use_context_dropout_fake,
+        )
+        upd_f, opt_fake_state = opt_fake.update(grads_f, state.opt_fake, state.params_fake)
+        params_fake = optax.apply_updates(state.params_fake, upd_f)
+
+        # --- theta update (uses the freshly updated psi, like the reference).
+        def g_grad(params_g, emb, r_draw, r_multi):
+            z, noise, t, init_t = _draw(r_draw, mb)
+            return jax.grad(_g_loss, has_aux=True)(
+                params_g, params_fake, teacher_params, z, noise, emb,
+                uncond_b, t, init_t, r_multi, denom,
+            )
+
+        grads_g, loss_g, n_g = _accumulate(
+            g_grad, state.params_G, emb_g, uncond_b, rng_g, use_dropout=False,
+        )
+        upd_g, opt_g_state = opt_g.update(grads_g, state.opt_G, state.params_G)
+        params_g_new = optax.apply_updates(state.params_G, upd_g)
+
+        # --- EMA lerp with halflife ramp (sid_training_loop.py:553-565).
+        beta = ema_beta(cfg, state.nimg)
+        ema = jax.tree_util.tree_map(
+            lambda p, e: p * (1.0 - beta) + e * beta, params_g_new, state.ema
+        )
+
+        new_state = SiDState(
+            step=state.step + 1,
+            nimg=state.nimg + cfg.batch_size,
+            params_G=params_g_new,
+            params_fake=params_fake,
+            ema=ema,
+            opt_G=opt_g_state,
+            opt_fake=opt_fake_state,
+        )
+        metrics = {
+            "fake_score_loss": loss_f / a_rounds,
+            "g_loss": loss_g / a_rounds,
+            "fake_valid": n_f,
+            "g_valid": n_g,
+            "ema_beta": beta,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(
+    train_step,
+    mesh=None,
+    param_sharding_fn=None,
+):
+    """jit the step with donated state.  With a mesh, inputs are expected to be
+    placed by ``parallel.shard_params`` / ``shard_batch``; GSPMD propagates
+    shardings through the program, so no in/out annotations are needed here."""
+    del mesh, param_sharding_fn
+    return jax.jit(train_step, donate_argnums=(0,))

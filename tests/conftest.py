@@ -8,7 +8,9 @@ mode on CPU (handled inside the ops via backend checks / interpret fallbacks).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the shell presets JAX_PLATFORMS (e.g. 'axon' tunnels a
+# real TPU — tests must not depend on it, and the tunnel is slow).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

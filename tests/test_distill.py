@@ -1,0 +1,138 @@
+"""Distillation step tests on the tiny model (SURVEY.md §4 'do better').
+
+Covers: a full two-phase train step runs and produces finite losses; params,
+psi and EMA all move; EMA ramp math matches the closed form; the NaN-hygiene
+optimizer stage zeroes/clamps bad grads; the step works unchanged over an
+8-device dp x fsdp mesh (the multi-node-without-a-cluster test).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sid_lsg_tpu import models
+from sid_lsg_tpu.diffusion import DDPMScheduler
+from sid_lsg_tpu.parallel import make_mesh, shard_batch, shard_params
+from sid_lsg_tpu.training import (
+    DistillConfig,
+    SiDState,
+    ema_beta,
+    init_state,
+    make_optimizer,
+    make_train_step,
+    nan_to_num_grads,
+    init_state as _init_state,
+)
+
+L, D = 8, 32  # text length / cross-attn width for the tiny model
+
+
+def tiny_setup(a_rounds=1, mb=2, **cfg_kw):
+    sd = models.TINY
+    unet = models.UNet2DCondition(sd.unet)
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, sd.unet.sample_size, sd.unet.sample_size, 4))
+    emb0 = jnp.zeros((1, L, D))
+    params = unet.init(rng, lat, jnp.zeros((1,), jnp.int32), emb0)["params"]
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+    scheduler = DDPMScheduler()
+    cfg = DistillConfig(
+        latent_size=sd.unet.sample_size, batch_size=a_rounds * mb, **cfg_kw
+    )
+    opt_g = make_optimizer(lr=1e-4)
+    opt_f = make_optimizer(lr=1e-4)
+    step = make_train_step(apply, scheduler, cfg, opt_g, opt_f)
+    state = init_state(params, opt_g, opt_f)
+    batch = {
+        "emb_fake": jax.random.normal(jax.random.PRNGKey(1), (a_rounds, mb, L, D)),
+        "emb_g": jax.random.normal(jax.random.PRNGKey(2), (a_rounds, mb, L, D)),
+        "uncond_emb": jnp.zeros((L, D)),
+    }
+    return step, state, params, batch
+
+
+def tree_l2_diff(a, b):
+    return sum(
+        float(jnp.sum(jnp.square(x - y)))
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+def test_train_step_runs_and_updates():
+    step, state, params0, batch = tiny_setup(a_rounds=2, mb=2, cfg_train_fake=1.5,
+                                             cfg_eval_fake=1.5, cfg_eval_real=1.5)
+    jstep = jax.jit(step)
+    state1, m1 = jstep(state, params0, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m1["fake_score_loss"]))
+    assert np.isfinite(float(m1["g_loss"]))
+    assert int(m1["fake_valid"]) == 4 and int(m1["g_valid"]) == 4
+    assert tree_l2_diff(state1.params_fake, params0) > 0
+    assert tree_l2_diff(state1.params_G, params0) > 0
+    # nimg=0 at first step -> beta=0 -> EMA == new generator params.
+    assert tree_l2_diff(state1.ema, state1.params_G) == 0
+    state2, m2 = jstep(state1, params0, batch, jax.random.PRNGKey(4))
+    assert int(state2.step) == 2
+    assert float(state2.nimg) == 2 * 4
+    # Second step: nimg>0 -> beta in (0,1) -> EMA between old and new.
+    assert tree_l2_diff(state2.ema, state2.params_G) > 0
+
+
+def test_train_step_alpha_form_and_vpred():
+    step, state, params0, batch = tiny_setup(alpha=1.2)
+    _, m = jax.jit(step)(state, params0, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["g_loss"]))
+    # v-prediction branch.
+    sd = models.TINY
+    unet = models.UNet2DCondition(sd.unet)
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+    from sid_lsg_tpu.diffusion.ddpm import SchedulerConfig
+
+    sched = DDPMScheduler(SchedulerConfig(prediction_type="v_prediction"))
+    cfg = DistillConfig(latent_size=sd.unet.sample_size, batch_size=2)
+    opt = make_optimizer(lr=1e-4)
+    vstep = make_train_step(apply, sched, cfg, opt, opt)
+    vstate = init_state(state.params_G, opt, opt)
+    _, mv = jax.jit(vstep)(vstate, params0, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(mv["fake_score_loss"]))
+
+
+def test_ema_beta_ramp():
+    cfg = DistillConfig(batch_size=512, ema_halflife_kimg=500, ema_rampup_ratio=0.05)
+    assert float(ema_beta(cfg, jnp.float32(0.0))) == 0.0
+    # Ramp active: halflife = nimg * 0.05.
+    nimg = 100_000.0
+    expect = 0.5 ** (512 / (nimg * 0.05))
+    assert np.isclose(float(ema_beta(cfg, jnp.float32(nimg))), expect, rtol=1e-5)
+    # Saturated: halflife = 500k imgs.
+    nimg = 1e9
+    expect = 0.5 ** (512 / 500_000.0)
+    assert np.isclose(float(ema_beta(cfg, jnp.float32(nimg))), expect, rtol=1e-5)
+
+
+def test_nan_to_num_grads():
+    tx = nan_to_num_grads()
+    grads = {"w": jnp.array([1.0, jnp.nan, jnp.inf, -jnp.inf])}
+    out, _ = tx.update(grads, tx.init(None))
+    np.testing.assert_allclose(np.asarray(out["w"]), [1.0, 0.0, 1e5, -1e5])
+
+
+def test_train_step_on_mesh():
+    """Full step over a dp=4 x fsdp=2 mesh: shardings propagate, result finite."""
+    step, state, params0, batch = tiny_setup(mb=8, cfg_train_fake=1.5)
+    mesh = make_mesh(fsdp=2)
+    assert mesh.shape == {"dp": 4, "fsdp": 2}
+    state = jax.tree_util.tree_map(jnp.asarray, state)
+    sharded_state = SiDState(
+        step=state.step,
+        nimg=state.nimg,
+        params_G=shard_params(state.params_G, mesh),
+        params_fake=shard_params(state.params_fake, mesh),
+        ema=shard_params(state.ema, mesh),
+        opt_G=jax.tree_util.tree_map(lambda x: x, state.opt_G),
+        opt_fake=state.opt_fake,
+    )
+    teacher = shard_params(params0, mesh)
+    state1, m = jax.jit(step)(sharded_state, teacher, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["fake_score_loss"]))
+    assert np.isfinite(float(m["g_loss"]))
