@@ -1,0 +1,104 @@
+"""End-to-end slice tests: pipeline, per-seed determinism, CLI, data layer."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from sid_lsg_tpu.data import InfinitePromptIterator, PromptDataset
+from sid_lsg_tpu.diffusion.rng import StackedRandomGenerator, seeded_latents
+from sid_lsg_tpu.pipeline import SDPipeline
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    return SDPipeline.random_init("tiny")
+
+
+def test_generate_end_to_end(tiny_pipe):
+    lat = seeded_latents([0, 1], tiny_pipe.config.unet.sample_size)
+    imgs = tiny_pipe.generate(["a cat", "a dog"], lat, num_steps=1, init_timestep=625)
+    r = tiny_pipe.config.resolution
+    assert imgs.shape == (2, r, r, 3) and imgs.dtype == np.uint8
+    # Same (seed, prompt) regenerates the identical image regardless of batch.
+    lat1 = seeded_latents([1], tiny_pipe.config.unet.sample_size)
+    img1 = tiny_pipe.generate(["a dog"], lat1[:1], num_steps=1, init_timestep=625)
+    np.testing.assert_array_equal(imgs[1], img1[0])
+
+
+def test_multistep_eval(tiny_pipe):
+    lat = seeded_latents([5], tiny_pipe.config.unet.sample_size)
+    img2 = tiny_pipe.generate(["x"], lat, num_steps=2, rng=jax.random.PRNGKey(7))
+    assert img2.shape[0] == 1
+
+
+def test_stacked_random_generator_determinism():
+    a = StackedRandomGenerator([3, 4]).randn((2, 4, 4, 4))
+    b = StackedRandomGenerator([4]).randn((1, 4, 4, 4))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[0]))
+    # Successive draws differ.
+    g = StackedRandomGenerator([3])
+    assert not np.allclose(np.asarray(g.randn((1, 4))), np.asarray(g.randn((1, 4))))
+
+
+def test_prompt_iterator(tmp_path):
+    p = tmp_path / "prompts.txt"
+    p.write_text("a\nb\nc\nd\n")
+    ds = PromptDataset(str(p))
+    assert len(ds) == 4
+    it = InfinitePromptIterator(ds, batch_size=3, seed=0)
+    batches = [next(it) for _ in range(4)]
+    assert all(len(b) == 3 for b in batches)
+    assert set(sum(batches, [])) == {"a", "b", "c", "d"}
+    # Process striding: two processes see disjoint streams covering everything.
+    it0 = InfinitePromptIterator(ds, 2, seed=1, process_index=0, process_count=2)
+    it1 = InfinitePromptIterator(ds, 2, seed=1, process_index=1, process_count=2)
+    s0, s1 = sum((next(it0) for _ in range(4)), []), sum((next(it1) for _ in range(4)), [])
+    assert set(s0) | set(s1) == {"a", "b", "c", "d"}
+    # Determinism given the seed.
+    it0b = InfinitePromptIterator(ds, 2, seed=1, process_index=0, process_count=2)
+    assert [next(it0b) for _ in range(4)] == [next(
+        InfinitePromptIterator(ds, 2, seed=1, process_index=0, process_count=2)
+    ) for _ in range(4)]
+
+
+def test_generate_cli(tmp_path):
+    prompts = tmp_path / "captions.txt"
+    prompts.write_text("\n".join(f"prompt {i}" for i in range(8)))
+    outdir = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "sid_lsg_tpu.cli.generate_onestep",
+            "--outdir", str(outdir), "--seeds", "0-5", "--batch", "4",
+            "--text_prompts", str(prompts), "--repo_id", "tiny",
+            "--use_bf16", "0", "--enable_compress_npz", "1", "--subdirs",
+        ],
+        capture_output=True, text=True, timeout=500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pngs = []
+    for root, _, files in os.walk(outdir):
+        pngs += [f for f in files if f.endswith(".png")]
+    assert sorted(pngs) == [f"{i:06d}.png" for i in range(6)]
+    assert os.path.exists(str(outdir) + ".npz")
+    arr = np.load(str(outdir) + ".npz")["arr_0"]
+    assert arr.shape[0] == 6 and arr.dtype == np.uint8
+
+
+def test_export_import_generator(tmp_path, tiny_pipe):
+    from sid_lsg_tpu.runtime import export_generator, load_generator_params
+
+    path = str(tmp_path / "gen.safetensors")
+    export_generator(tiny_pipe.params["unet"], path)
+    loaded = load_generator_params(path)
+    orig_leaves = jax.tree_util.tree_leaves(tiny_pipe.params["unet"])
+    new_leaves = jax.tree_util.tree_leaves(loaded)
+    assert len(orig_leaves) == len(new_leaves)
+    for a, b in zip(orig_leaves, new_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
