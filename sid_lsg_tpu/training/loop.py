@@ -1,0 +1,351 @@
+"""Training orchestration: run dir, ticks, snapshots, stats, resume.
+
+The counterpart of reference ``training/sid_training_loop.py:148-747`` minus
+everything that moved into the jitted step (``distill.py``).  What remains is
+genuinely host-side: run-dir bookkeeping and ``training_options.json``
+(``sid_train.py:362-368``), the prompt stream, text encoding (frozen tower,
+once per batch), tick-cadenced console/stats-jsonl reporting
+(``sid_training_loop.py:570-662``), fixed-seed sample grids
+(``temporary_seed = 2024``, ``:259-271,597-616``), snapshot/state saves, and
+resume.
+
+Differences by design:
+- one process drives all local chips; `batch_gpu` becomes `microbatch` (the
+  per-accumulation-round *global* batch) and accumulation rounds =
+  batch_size // microbatch,
+- checkpoints are orbax (sharded, atomic) + safetensors EMA snapshots instead
+  of torch pickles,
+- the tick loss is the mean over accumulation rounds, not the last round's
+  value (reference defect, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.prompts import InfinitePromptIterator, PromptDataset
+from ..diffusion.rng import seeded_latents
+from ..parallel import make_mesh, runtime, shard_params
+from ..pipeline import SDPipeline
+from ..utils import training_stats
+from ..utils.util import EasyDict, format_time
+from .distill import DistillConfig, make_train_step
+from .state import SiDState, init_state, make_optimizer
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Flag surface of reference ``sid_train.py:88-158`` in one dataclass."""
+
+    run_dir: str = "."
+    data: str = ""  # prompt corpus path (file or dir)
+    model: str = "sd15"  # preset or HF-layout checkpoint dir
+    prediction_type: Optional[str] = None
+    resolution: int = 512
+    # Optimization (defaults = paper config, BASELINE.md).
+    batch_size: int = 512
+    microbatch: int = 8  # global batch per accumulation round
+    glr: float = 1e-6
+    lr: float = 1e-6
+    adam_eps: float = 1e-8
+    # LSG guidance scales.
+    cfg_train_fake: float = 1.0
+    cfg_eval_fake: float = 1.0
+    cfg_eval_real: float = 1.0
+    # Distillation.
+    init_timestep: int = 625
+    tmin: int = 20
+    tmax: int = 980
+    alpha: float = 1.0
+    loss_scaling: float = 1.0
+    loss_scaling_G: float = 1.0
+    num_steps: int = 1
+    ema_halflife_kimg: float = 500.0
+    ema_rampup_ratio: Optional[float] = 0.05
+    # Schedule.
+    total_kimg: int = 200000
+    kimg_per_tick: int = 50
+    snapshot_ticks: int = 50
+    state_dump_ticks: int = 500
+    sample_ticks: int = 50
+    seed: int = 0
+    # Precision / memory.
+    use_bf16: bool = True
+    gradient_checkpointing: bool = False
+    # Parallelism.
+    fsdp: int = 1
+    # Resume.
+    resume: Optional[str] = None
+    resume_kimg: int = 0
+    max_ticks: Optional[int] = None  # early stop for tests/smoke
+
+    def as_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def save_image_grid(images: np.ndarray, path: str, grid_wh=None) -> None:
+    """uint8 (N,H,W,3) -> one PNG grid (reference save_image_grid:99 role)."""
+    from PIL import Image
+
+    n, h, w, _ = images.shape
+    gw = grid_wh[0] if grid_wh else int(np.ceil(np.sqrt(n)))
+    gh = grid_wh[1] if grid_wh else int(np.ceil(n / gw))
+    canvas = np.zeros((gh * h, gw * w, 3), np.uint8)
+    for i in range(n):
+        r, c = divmod(i, gw)
+        canvas[r * h : (r + 1) * h, c * w : (c + 1) * w] = images[i]
+    Image.fromarray(canvas, "RGB").save(path)
+
+
+class Trainer:
+    """Owns pipeline, state, jitted step and the tick loop."""
+
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        runtime.init_distributed()
+        dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+        self.pipe = SDPipeline.from_pretrained(
+            cfg.model, dtype=dtype, prediction_type=cfg.prediction_type
+        )
+        self.mesh = make_mesh(fsdp=cfg.fsdp)
+        sd_cfg = self.pipe.config
+
+        assert cfg.batch_size % cfg.microbatch == 0, "batch_size % microbatch != 0"
+        self.a_rounds = cfg.batch_size // cfg.microbatch
+        self.dcfg = DistillConfig(
+            latent_size=sd_cfg.unet.sample_size,
+            latent_channels=sd_cfg.unet.in_channels,
+            init_timestep=cfg.init_timestep,
+            tmin=cfg.tmin,
+            tmax=cfg.tmax,
+            cfg_train_fake=cfg.cfg_train_fake,
+            cfg_eval_fake=cfg.cfg_eval_fake,
+            cfg_eval_real=cfg.cfg_eval_real,
+            alpha=cfg.alpha,
+            loss_scaling=cfg.loss_scaling,
+            loss_scaling_G=cfg.loss_scaling_G,
+            num_steps=cfg.num_steps,
+            batch_size=cfg.batch_size,
+            ema_halflife_kimg=cfg.ema_halflife_kimg,
+            ema_rampup_ratio=cfg.ema_rampup_ratio,
+            dtype=dtype,
+        )
+        unet = self.pipe.unet
+        if cfg.gradient_checkpointing:
+            from ..models.unet import UNet2DCondition
+
+            unet = UNet2DCondition(sd_cfg.unet, dtype=dtype, remat=True)
+        unet_apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+        self.opt_g = make_optimizer(lr=cfg.glr, eps=cfg.adam_eps)
+        self.opt_fake = make_optimizer(lr=cfg.lr, eps=cfg.adam_eps)
+        step_fn = make_train_step(unet_apply, self.pipe.scheduler, self.dcfg,
+                                  self.opt_g, self.opt_fake)
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        # Teacher stays a separate frozen pytree; state holds the 3 trainables.
+        self.teacher = shard_params(self.pipe.params["unet"], self.mesh)
+        state = init_state(self.pipe.params["unet"], self.opt_g, self.opt_fake,
+                           resume_nimg=cfg.resume_kimg * 1000)
+        self.state = self._shard_state(state)
+
+        # Prompt stream: one fresh microbatch per accumulation round per phase.
+        if cfg.data:
+            dataset = PromptDataset(cfg.data)
+        else:  # offline smoke: synthetic prompts
+            dataset = PromptDataset([f"prompt {i}" for i in range(1024)], name="synthetic")
+        self.prompts = InfinitePromptIterator(
+            dataset, cfg.microbatch, seed=cfg.seed,
+            process_index=runtime.get_process_index(),
+            process_count=runtime.get_process_count(),
+        )
+        self.ckpt_mgr = None
+
+    def _shard_state(self, state: SiDState) -> SiDState:
+        place = lambda tree: shard_params(tree, self.mesh)
+        arr = lambda x: place(x) if hasattr(x, "ndim") and x.ndim > 0 else x
+        return SiDState(
+            step=state.step,
+            nimg=state.nimg,
+            params_G=place(state.params_G),
+            params_fake=place(state.params_fake),
+            ema=place(state.ema),
+            opt_G=jax.tree_util.tree_map(arr, state.opt_G),
+            opt_fake=jax.tree_util.tree_map(arr, state.opt_fake),
+        )
+
+    # ------------------------------------------------------------------ io
+    def _encode_rounds(self) -> jnp.ndarray:
+        """(A, mb, L, D) embeddings for one phase: A fresh prompt microbatches."""
+        prompts: List[str] = []
+        for _ in range(self.a_rounds):
+            prompts.extend(next(self.prompts))
+        emb = self.pipe.encode_prompts(prompts)
+        return emb.reshape(self.a_rounds, self.cfg.microbatch, *emb.shape[1:])
+
+    def next_batch(self) -> Dict[str, jnp.ndarray]:
+        return {
+            "emb_fake": self._encode_rounds(),
+            "emb_g": self._encode_rounds(),
+            "uncond_emb": self.pipe.uncond_embedding(),
+        }
+
+    def save_snapshot(self, kimg: int) -> str:
+        from ..runtime.checkpoint import export_generator
+
+        tag = f"{self.cfg.alpha:g}".replace(".", "_")
+        path = os.path.join(
+            self.cfg.run_dir, f"network-snapshot-{tag}-{kimg:06d}.safetensors"
+        )
+        export_generator(self.state.ema, path)
+        return path
+
+    def save_state(self, step: int) -> None:
+        from ..runtime.checkpoint import CheckpointManager
+
+        if self.ckpt_mgr is None:
+            self.ckpt_mgr = CheckpointManager(
+                os.path.join(self.cfg.run_dir, "checkpoints")
+            )
+        self.ckpt_mgr.save(step, self.state)
+        self.ckpt_mgr.wait()  # orbax saves async; finish before continuing
+
+    def restore_state(self) -> bool:
+        from ..runtime.checkpoint import CheckpointManager
+
+        ckdir = os.path.join(self.cfg.run_dir, "checkpoints")
+        if not os.path.isdir(ckdir):
+            return False
+        mgr = CheckpointManager(ckdir)
+        step = mgr.latest_step()
+        if step is None:
+            return False
+        self.state = mgr.restore(step, template=self.state)
+        return True
+
+    def sample_grid(self, kimg: int, num_steps_eval: int = 1, n: int = 16) -> str:
+        """Deterministic sample grid (reference temporary_seed=2024 pattern)."""
+        rng = np.random.RandomState(2024)
+        idx = rng.randint(len(self.prompts.dataset), size=n)
+        prompts = [self.prompts.dataset[i] for i in idx]
+        lat = seeded_latents(list(range(n)), self.dcfg.latent_size,
+                             self.dcfg.latent_channels)
+        imgs = self.pipe.generate(
+            prompts, lat, num_steps=num_steps_eval,
+            init_timestep=self.cfg.init_timestep, rng=jax.random.PRNGKey(2024),
+        )
+        path = os.path.join(
+            self.cfg.run_dir, f"fakes-steps{num_steps_eval}-{kimg:06d}.png"
+        )
+        save_image_grid(np.asarray(imgs), path)
+        return path
+
+    # ---------------------------------------------------------------- loop
+    def run(self) -> SiDState:
+        cfg = self.cfg
+        # Sampling uses the current EMA params.
+        self.pipe.params = dict(self.pipe.params)
+        rng = jax.random.PRNGKey(cfg.seed)
+        cur_nimg = int(self.state.nimg)
+        tick_start_nimg = cur_nimg
+        cur_tick = 0
+        start_time = time.time()
+        tick_start_time = start_time
+        maintenance_time = 0.0
+        stats_jsonl = None
+        collector = training_stats.Collector(regex=".*")
+        runtime.print0(f"Training for {cfg.total_kimg} kimg (batch {cfg.batch_size}, "
+                       f"{self.a_rounds} accumulation rounds)...")
+        while True:
+            batch = self.next_batch()
+            self.state, metrics = self.train_step(self.state, self.teacher, batch, rng)
+            cur_nimg += cfg.batch_size
+            training_stats.report("fake_score_Loss/loss", float(metrics["fake_score_loss"]))
+            training_stats.report("G_Loss/loss", float(metrics["g_loss"]))
+
+            done = cur_nimg >= cfg.total_kimg * 1000
+            if cfg.max_ticks is not None and cur_tick >= cfg.max_ticks:
+                done = True
+            if (not done) and (cur_tick != 0) and (
+                cur_nimg < tick_start_nimg + cfg.kimg_per_tick * 1000
+            ):
+                continue
+
+            # ---- tick ----
+            tick_end_time = time.time()
+            collector.update()
+            fields = EasyDict()
+            fields.tick = cur_tick
+            fields.kimg = cur_nimg / 1000.0
+            fields.time = format_time(tick_end_time - start_time)
+            fields.sec_per_tick = tick_end_time - tick_start_time
+            fields.sec_per_kimg = fields.sec_per_tick / max(
+                (cur_nimg - tick_start_nimg) / 1000.0, 1e-8
+            )
+            fields.maintenance = maintenance_time
+            fields.fake_loss = collector.mean("fake_score_Loss/loss")
+            fields.g_loss = collector.mean("G_Loss/loss")
+            runtime.print0(
+                f"tick {fields.tick:<5d} kimg {fields.kimg:<9.1f} "
+                f"time {fields.time:<12s} sec/tick {fields.sec_per_tick:<8.1f} "
+                f"sec/kimg {fields.sec_per_kimg:<8.2f} "
+                f"fake_loss {fields.fake_loss:<10.4f} g_loss {fields.g_loss:<10.4f}"
+            )
+            maintenance_start = time.time()
+            if runtime.get_process_index() == 0 and os.path.isdir(cfg.run_dir):
+                if stats_jsonl is None:
+                    stats_jsonl = open(
+                        os.path.join(cfg.run_dir, f"stats_{cfg.alpha:g}.jsonl"), "at"
+                    )
+                stats_jsonl.write(json.dumps(
+                    {**{k: float(v) if isinstance(v, (int, float)) else v
+                        for k, v in fields.items()},
+                     "timestamp": time.time()}) + "\n")
+                stats_jsonl.flush()
+                if cfg.sample_ticks and cur_tick % cfg.sample_ticks == 0:
+                    for nse in (1, 2, 4) if cfg.num_steps > 1 else (1,):
+                        self.pipe.params["generator"] = self.state.ema
+                        self.sample_grid(cur_nimg // 1000, num_steps_eval=nse)
+                if cfg.snapshot_ticks and cur_tick and cur_tick % cfg.snapshot_ticks == 0:
+                    self.save_snapshot(cur_nimg // 1000)
+            if cfg.state_dump_ticks and cur_tick and cur_tick % cfg.state_dump_ticks == 0:
+                self.save_state(int(self.state.step))
+            maintenance_time = time.time() - maintenance_start
+            cur_tick += 1
+            tick_start_nimg = cur_nimg
+            tick_start_time = time.time()
+            if done or runtime.should_stop():
+                break
+        if self.ckpt_mgr is not None:
+            self.ckpt_mgr.wait()
+            self.ckpt_mgr.close()
+            self.ckpt_mgr = None
+        runtime.print0("Exiting...")
+        return self.state
+
+
+def training_loop(cfg: TrainConfig) -> SiDState:
+    """Build run dir artifacts + run (reference training_loop:148 entry)."""
+    if runtime.get_process_index() == 0 and cfg.run_dir and cfg.run_dir != ".":
+        os.makedirs(cfg.run_dir, exist_ok=True)
+        with open(os.path.join(cfg.run_dir, "training_options.json"), "w") as f:
+            f.write(cfg.as_json())
+    trainer = Trainer(cfg)
+    if cfg.resume == "latest":
+        trainer.restore_state()
+    elif cfg.resume:
+        from ..runtime.checkpoint import load_generator_params
+
+        gen = load_generator_params(cfg.resume, trainer.pipe.config.unet)
+        gen = shard_params(gen, trainer.mesh)
+        trainer.state = dataclasses.replace(
+            trainer.state, params_G=gen, params_fake=gen, ema=gen
+        )
+    return trainer.run()

@@ -80,16 +80,19 @@ def init_state(
     """Start G, psi and EMA from the (teacher) UNet params — the reference's
     deepcopy init (``sid_training_loop.py:284-287,325``).
 
-    The caller keeps the teacher params as a separate frozen pytree; G, psi
-    and EMA here are independent copies (JAX arrays are immutable, so sharing
-    the same buffers at init is safe — updates produce new arrays).
+    Each copy gets its own device buffers: the train step donates the whole
+    state, and XLA rejects donating one buffer aliased into several arguments
+    (the caller typically also passes the same pytree as the frozen teacher).
     """
+    copy = lambda tree: jax.tree_util.tree_map(lambda p: jnp.asarray(p).copy(), tree)
+    params_g = copy(params_unet)
+    params_fake = copy(params_unet)
     return SiDState(
         step=jnp.zeros((), jnp.int32),
         nimg=jnp.asarray(float(resume_nimg), jnp.float32),
-        params_G=params_unet,
-        params_fake=params_unet,
-        ema=params_unet,
-        opt_G=opt_g.init(params_unet),
-        opt_fake=opt_fake.init(params_unet),
+        params_G=params_g,
+        params_fake=params_fake,
+        ema=copy(params_unet),
+        opt_G=opt_g.init(params_g),
+        opt_fake=opt_fake.init(params_fake),
     )

@@ -63,6 +63,8 @@ def _sync(names: List[str]) -> Dict[str, np.ndarray]:
     (training_stats.py:254-255); here a single ``process_allgather`` over the
     stacked delta matrix plays the same role over DCN.
     """
+    if not names:
+        return {}
     deltas = np.stack([_counters.get(n, np.zeros(_num_moments)) for n in names])
     for n in names:
         _counters[n] = np.zeros(_num_moments, dtype=np.float64)
