@@ -52,6 +52,8 @@ from ..utils.util import Logger, make_run_dir
 @click.option("--grad-ckpt", "gradient_checkpointing", type=bool, default=False, show_default=True)
 @click.option("--fsdp", help="FSDP axis size (1 = pure data parallel)", type=int, default=1, show_default=True)
 @click.option("--resolution", type=int, default=512, show_default=True)
+@click.option("--metrics", help="Comma-separated metric names to run at snapshot ticks", type=str, default=None)
+@click.option("--metric_data", help="Prepared COCO eval folder for metrics", type=str, default=None)
 @click.option("--resume", help="'latest' or a generator checkpoint path", type=str, default=None)
 @click.option("--resume_kimg", type=int, default=0)
 @click.option("--desc", help="Run-dir description suffix", type=str, default=None)
@@ -99,6 +101,8 @@ def main(**opts) -> None:
         use_bf16=opts["use_bf16"],
         gradient_checkpointing=opts["gradient_checkpointing"],
         fsdp=opts["fsdp"],
+        metrics=opts["metrics"].split(",") if opts["metrics"] else None,
+        metric_data=opts["metric_data"],
         resume=opts["resume"],
         resume_kimg=opts["resume_kimg"],
         max_ticks=opts["max_ticks"],

@@ -82,6 +82,11 @@ class TrainConfig:
     gradient_checkpointing: bool = False
     # Parallelism.
     fsdp: int = 1
+    # Metrics during training (reference sid_training_loop.py:619-638).
+    metrics: Optional[List[str]] = None
+    metric_data: Optional[str] = None  # prepared COCO eval folder
+    metric_ticks: int = 50
+    metric_num_gen: int = 30000
     # Resume.
     resume: Optional[str] = None
     resume_kimg: int = 0
@@ -230,6 +235,27 @@ class Trainer:
         self.state = mgr.restore(step, template=self.state)
         return True
 
+    def eval_metrics(self, snapshot_path: Optional[str]) -> None:
+        """Run configured metrics on the current EMA generator
+        (reference metric hook, sid_training_loop.py:619-638)."""
+        if not self.cfg.metrics:
+            return
+        from ..metrics import MetricOptions, calc_metric, report_metric
+
+        self.pipe.params = dict(self.pipe.params)
+        self.pipe.params["generator"] = self.state.ema
+        opts = MetricOptions(
+            pipe=self.pipe,
+            dataset_path=self.cfg.metric_data,
+            num_gen=self.cfg.metric_num_gen,
+            init_timestep=self.cfg.init_timestep,
+        )
+        for metric in self.cfg.metrics:
+            result = calc_metric(metric, opts=opts)
+            if runtime.get_process_index() == 0:
+                report_metric(result, run_dir=self.cfg.run_dir or None,
+                              snapshot_pkl=snapshot_path)
+
     def sample_grid(self, kimg: int, num_steps_eval: int = 1, n: int = 16) -> str:
         """Deterministic sample grid (reference temporary_seed=2024 pattern)."""
         rng = np.random.RandomState(2024)
@@ -292,11 +318,16 @@ class Trainer:
             fields.maintenance = maintenance_time
             fields.fake_loss = collector.mean("fake_score_Loss/loss")
             fields.g_loss = collector.mean("G_Loss/loss")
+            from ..utils.misc import cpu_memory_gb, peak_device_memory_gb
+
+            fields.cpumem_gb = cpu_memory_gb()
+            fields.devmem_gb = peak_device_memory_gb()
             runtime.print0(
                 f"tick {fields.tick:<5d} kimg {fields.kimg:<9.1f} "
                 f"time {fields.time:<12s} sec/tick {fields.sec_per_tick:<8.1f} "
                 f"sec/kimg {fields.sec_per_kimg:<8.2f} "
-                f"fake_loss {fields.fake_loss:<10.4f} g_loss {fields.g_loss:<10.4f}"
+                f"fake_loss {fields.fake_loss:<10.4f} g_loss {fields.g_loss:<10.4f} "
+                f"cpumem {fields.cpumem_gb:<6.2f} devmem {fields.devmem_gb:<6.2f}"
             )
             maintenance_start = time.time()
             if runtime.get_process_index() == 0 and os.path.isdir(cfg.run_dir):
@@ -314,7 +345,9 @@ class Trainer:
                         self.pipe.params["generator"] = self.state.ema
                         self.sample_grid(cur_nimg // 1000, num_steps_eval=nse)
                 if cfg.snapshot_ticks and cur_tick and cur_tick % cfg.snapshot_ticks == 0:
-                    self.save_snapshot(cur_nimg // 1000)
+                    snap_path = self.save_snapshot(cur_nimg // 1000)
+                    if cfg.metrics and cfg.metric_ticks and cur_tick % cfg.metric_ticks == 0:
+                        self.eval_metrics(snap_path)
             if cfg.state_dump_ticks and cur_tick and cur_tick % cfg.state_dump_ticks == 0:
                 self.save_state(int(self.state.step))
             maintenance_time = time.time() - maintenance_start

@@ -1,0 +1,115 @@
+"""Dataset prep tools, HPSv2 harness and misc-util tests."""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+
+
+def _make_images(d, n=6, size=40):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    os.makedirs(d, exist_ok=True)
+    names = []
+    for i in range(n):
+        name = f"COCO_val2014_{i:012d}.jpg"
+        Image.fromarray(rng.randint(0, 256, (size + i, size, 3), np.uint8)).save(
+            os.path.join(d, name)
+        )
+        names.append(name)
+    return names
+
+
+def test_cocodataset_tool(tmp_path):
+    from sid_lsg_tpu.cli.cocodataset_tool import convert_coco
+
+    src = str(tmp_path / "val2014")
+    names = _make_images(src)
+    ann = {
+        "images": [{"id": i, "file_name": n} for i, n in enumerate(names)],
+        "annotations": [
+            {"image_id": i, "caption": f"  caption {i} "} for i in range(len(names))
+        ] + [{"image_id": 0, "caption": "duplicate ignored"}],
+    }
+    ann_path = str(tmp_path / "captions_val2014.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    dest = str(tmp_path / "coco256")
+    n = convert_coco(src, ann_path, dest, resolution=32, max_images=4)
+    assert n == 4
+    from sid_lsg_tpu.data import CocoCaptionDataset
+
+    ds = CocoCaptionDataset(dest)
+    assert len(ds) == 4
+    img, cap = ds[0]
+    assert img.shape == (32, 32, 3) and cap == "caption 0"
+    # Power-of-two enforcement.
+    import click
+
+    with pytest.raises(click.UsageError):
+        convert_coco(src, ann_path, str(tmp_path / "bad"), resolution=48)
+
+
+def test_dataset_tool_folder_to_zip(tmp_path):
+    src = str(tmp_path / "imgs")
+    _make_images(src, n=3)
+    dest = str(tmp_path / "out.zip")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "-m", "sid_lsg_tpu.cli.dataset_tool",
+         "--source", src, "--dest", dest, "--resolution", "16"],
+        capture_output=True, text=True, timeout=120,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    with zipfile.ZipFile(dest) as zf:
+        names = zf.namelist()
+        assert "dataset.json" in names
+        assert sum(n.endswith(".png") for n in names) == 3
+
+
+def test_hpsv2_offline_harness(tmp_path):
+    prompts = {"photo": [f"photo prompt {i}" for i in range(4)],
+               "anime": [f"anime prompt {i}" for i in range(4)]}
+    pj = str(tmp_path / "bench.json")
+    with open(pj, "w") as f:
+        json.dump(prompts, f)
+    outdir = str(tmp_path / "hps")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "-m", "sid_lsg_tpu.cli.generate_hpsv2",
+         "--outdir", outdir, "--seeds", "0-2", "--batch", "2",
+         "--repo_id", "tiny", "--prompts_json", pj, "--use_bf16", "0"],
+        capture_output=True, text=True, timeout=500,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for style in prompts:
+        files = os.listdir(os.path.join(outdir, style))
+        assert sum(f.endswith(".jpg") for f in files) == 3
+    scores = json.load(open(os.path.join(outdir, "hpsv2_scores.json")))
+    assert set(scores) == {"photo", "anime"}
+
+
+def test_misc_utils():
+    import jax.numpy as jnp
+
+    from sid_lsg_tpu.utils.misc import assert_shape, count_params, profiled_function
+
+    assert_shape(jnp.zeros((2, 3, 4)), [2, None, 4])
+    with pytest.raises(AssertionError):
+        assert_shape(jnp.zeros((2, 3)), [2, 4])
+    with pytest.raises(AssertionError):
+        assert_shape(jnp.zeros((2, 3)), [2, 3, 1])
+    assert count_params({"a": np.zeros((2, 3)), "b": {"c": np.zeros(5)}}) == 11
+
+    @profiled_function
+    def f(x):
+        return x * 2
+
+    assert float(f(jnp.float32(3.0))) == 6.0
