@@ -76,13 +76,16 @@ def generate_images(
             prompts, latents, num_steps=num_steps_eval,
             init_timestep=init_timestep, rng=jax.random.PRNGKey(0),
         )
-        for seed, img in list(zip(batch_seeds, images))[: len(batch_seeds)]:
+        # Disk path through the native PNG writer (one C call per batch).
+        from .. import native
+
+        out_paths = []
+        for seed in batch_seeds:
             d = os.path.join(outdir, f"{seed - seed % 1000:06d}") if subdirs else outdir
             os.makedirs(d, exist_ok=True)
-            from PIL import Image
-
-            Image.fromarray(np.asarray(img), "RGB").save(os.path.join(d, f"{seed:06d}.png"))
-            written += 1
+            out_paths.append(os.path.join(d, f"{seed:06d}.png"))
+        native.write_png_batch(out_paths, np.asarray(images)[: len(batch_seeds)])
+        written += len(batch_seeds)
         if progress and process_index == 0:
             runtime.print0(f"  {min(start + max_batch_size, len(my_seeds))}/{len(my_seeds)} images")
     return written

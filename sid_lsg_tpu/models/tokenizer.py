@@ -200,12 +200,14 @@ class HashTokenizer:
 
 
 def load_tokenizer(model_dir_or_preset: str, model_max_length: int = 77):
-    """Tokenizer factory: SD checkpoint dir -> CLIPTokenizer, else HashTokenizer."""
+    """Tokenizer factory: SD checkpoint dir -> CLIPTokenizer (wrapped in the
+    native ASCII fast path when the C++ library builds), else HashTokenizer."""
     tok_dir = os.path.join(model_dir_or_preset, "tokenizer")
-    if os.path.isdir(tok_dir):
-        return CLIPTokenizer(tok_dir, model_max_length=model_max_length)
-    if os.path.isdir(model_dir_or_preset) and os.path.exists(
-        os.path.join(model_dir_or_preset, "vocab.json")
-    ):
-        return CLIPTokenizer(model_dir_or_preset, model_max_length=model_max_length)
+    if not os.path.isdir(tok_dir):
+        tok_dir = model_dir_or_preset
+    if os.path.isdir(tok_dir) and os.path.exists(os.path.join(tok_dir, "vocab.json")):
+        py = CLIPTokenizer(tok_dir, model_max_length=model_max_length)
+        from ..native import NativeTokenizer, native_available
+
+        return NativeTokenizer(py) if native_available() else py
     return HashTokenizer(model_max_length=model_max_length)
