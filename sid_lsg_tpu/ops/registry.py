@@ -44,7 +44,11 @@ def get_default_impl() -> str:
 
 def _on_tpu() -> bool:
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() == "tpu":
+            return True
+        # Plugin backends (e.g. 'axon') expose TPU devices under another name.
+        d = jax.devices()[0]
+        return "tpu" in (getattr(d, "platform", "") or "").lower() or "TPU" in str(d)
     except Exception:
         return False
 

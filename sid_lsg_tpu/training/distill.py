@@ -95,8 +95,14 @@ def make_train_step(
     cfg: DistillConfig,
     opt_g: optax.GradientTransformation,
     opt_fake: optax.GradientTransformation,
+    fake_transform: Optional[Callable[[Any, Any], Any]] = None,
 ):
     """Build ``train_step(state, teacher_params, batch, rng)``.
+
+    ``fake_transform(params_fake, teacher_params)`` maps the trainable
+    fake-score state to effective UNet params; identity by default, or
+    ``lora.apply_lora`` composition when psi is LoRA-parameterised
+    (``state.params_fake`` then holds only the factor tree).
 
     ``batch`` (text already encoded — the text tower is frozen, so encoding
     happens once per batch outside both phases, unlike the reference which
@@ -106,6 +112,7 @@ def make_train_step(
       - ``uncond_emb``: (L, D) embedding of the empty prompt
     where A = accumulation rounds and mb = global microbatch.
     """
+    fake_transform = fake_transform or (lambda pf, teacher: pf)
     v_pred = scheduler.config.prediction_type == "v_prediction"
     lat_shape_of = lambda mb: (mb, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
 
@@ -133,9 +140,9 @@ def make_train_step(
         )
 
     # ---------------- psi (fake score) phase -------------------------------
-    def _psi_loss(params_fake, images, noise, emb, uncond_b, t, denom):
+    def _psi_loss(params_fake, teacher, images, noise, emb, uncond_b, t, denom):
         noise_fake = _denoise(
-            params_fake, images, noise, emb, uncond_b, t,
+            fake_transform(params_fake, teacher), images, noise, emb, uncond_b, t,
             cfg.cfg_train_fake, predict_x0=False,
         )
         valid = _per_sample_finite(noise_fake)
@@ -156,8 +163,8 @@ def make_train_step(
     def _g_loss(params_g, params_fake, teacher, z, noise, emb, uncond_b, t,
                 init_t, rng, denom):
         images = _generate(params_g, z, emb, init_t, rng)
-        y_fake = _denoise(params_fake, images, noise, emb, uncond_b, t,
-                          cfg.cfg_eval_fake, predict_x0=True)
+        y_fake = _denoise(fake_transform(params_fake, teacher), images, noise,
+                          emb, uncond_b, t, cfg.cfg_eval_fake, predict_x0=True)
         y_real = _denoise(teacher, images, noise, emb, uncond_b, t,
                           cfg.cfg_eval_real, predict_x0=True)
         valid = (
@@ -229,7 +236,7 @@ def make_train_step(
                 _generate(state.params_G, z, emb, init_t, r_multi)
             )
             return jax.grad(_psi_loss, has_aux=True)(
-                params_fake, images, noise, emb, uncond_b, t, denom
+                params_fake, teacher_params, images, noise, emb, uncond_b, t, denom
             )
 
         grads_f, loss_f, n_f = _accumulate(

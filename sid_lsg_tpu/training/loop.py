@@ -80,6 +80,9 @@ class TrainConfig:
     # Precision / memory.
     use_bf16: bool = True
     gradient_checkpointing: bool = False
+    # LoRA fake score (reference --fake_score_use_lora, sid_train.py:157).
+    fake_score_use_lora: bool = False
+    lora_rank: int = 4
     # Parallelism.
     fsdp: int = 1
     # Metrics during training (reference sid_training_loop.py:619-638).
@@ -151,14 +154,26 @@ class Trainer:
         unet_apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
         self.opt_g = make_optimizer(lr=cfg.glr, eps=cfg.adam_eps)
         self.opt_fake = make_optimizer(lr=cfg.lr, eps=cfg.adam_eps)
+        fake_transform = None
+        params_fake_init = None
+        if cfg.fake_score_use_lora:
+            from .lora import apply_lora, init_lora
+
+            params_fake_init = init_lora(
+                jax.random.PRNGKey(cfg.seed + 1), self.pipe.params["unet"],
+                rank=cfg.lora_rank,
+            )
+            fake_transform = lambda pf, teacher: apply_lora(teacher, pf)
         step_fn = make_train_step(unet_apply, self.pipe.scheduler, self.dcfg,
-                                  self.opt_g, self.opt_fake)
+                                  self.opt_g, self.opt_fake,
+                                  fake_transform=fake_transform)
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
 
         # Teacher stays a separate frozen pytree; state holds the 3 trainables.
         self.teacher = shard_params(self.pipe.params["unet"], self.mesh)
         state = init_state(self.pipe.params["unet"], self.opt_g, self.opt_fake,
-                           resume_nimg=cfg.resume_kimg * 1000)
+                           resume_nimg=cfg.resume_kimg * 1000,
+                           params_fake=params_fake_init)
         self.state = self._shard_state(state)
 
         # Prompt stream: one fresh microbatch per accumulation round per phase.

@@ -76,6 +76,7 @@ def init_state(
     opt_g: optax.GradientTransformation,
     opt_fake: optax.GradientTransformation,
     resume_nimg: int = 0,
+    params_fake: Optional[Params] = None,
 ) -> SiDState:
     """Start G, psi and EMA from the (teacher) UNet params — the reference's
     deepcopy init (``sid_training_loop.py:284-287,325``).
@@ -86,7 +87,9 @@ def init_state(
     """
     copy = lambda tree: jax.tree_util.tree_map(lambda p: jnp.asarray(p).copy(), tree)
     params_g = copy(params_unet)
-    params_fake = copy(params_unet)
+    # psi defaults to a full UNet clone; a LoRA factor tree may be passed
+    # instead (with the matching fake_transform in the train step).
+    params_fake = copy(params_fake) if params_fake is not None else copy(params_unet)
     return SiDState(
         step=jnp.zeros((), jnp.int32),
         nimg=jnp.asarray(float(resume_nimg), jnp.float32),
