@@ -1,0 +1,124 @@
+"""StyleGAN-T generator / projected discriminator tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sid_lsg_tpu.models.stylegan_discriminator import (
+    TINY_VIT,
+    DINOViT,
+    ProjectedDiscriminator,
+    convert_dino,
+    diff_augment,
+)
+from sid_lsg_tpu.models.stylegan_shared import (
+    MLP,
+    FullyConnectedLayer,
+    normalize_2nd_moment,
+)
+from sid_lsg_tpu.models.stylegan_t import Generator, modulated_conv2d
+
+
+def test_fully_connected_lr_multiplier():
+    layer = FullyConnectedLayer(8, lr_multiplier=0.01, activation="lrelu")
+    x = jnp.ones((2, 4))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == (2, 8)
+    # Effective weight magnitude is O(1) despite the 1/lr_mult storage.
+    w_eff = params["params"]["weight"] * (0.01 / np.sqrt(4))
+    assert float(jnp.abs(w_eff).mean()) < 1.0
+
+
+def test_normalize_2nd_moment():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16)) * 5.0
+    y = normalize_2nd_moment(x)
+    np.testing.assert_allclose(np.mean(np.square(np.asarray(y)), axis=-1), 1.0, atol=1e-4)
+
+
+def test_modulated_conv2d_demodulation():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 4, 8, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (6, 4, 3, 3))
+    s = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (2, 4))) + 0.1
+    y = modulated_conv2d(x, w, s, padding=1)
+    assert y.shape == (2, 6, 8, 8)
+    # Demodulated output variance is O(1) regardless of style scale.
+    y_big = modulated_conv2d(x, w, s * 100.0, padding=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_big), rtol=1e-3, atol=1e-3)
+
+
+def test_generator_forward_conditional():
+    g = Generator(z_dim=16, c_dim=8, img_resolution=16, channel_base=512,
+                  channel_max=64, num_res_blocks=1)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 16))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 8))
+    variables = g.init(jax.random.PRNGKey(2), z, c)
+    img = g.apply(variables, z, c)
+    assert img.shape == (2, 3, 16, 16)
+    assert np.all(np.isfinite(np.asarray(img)))
+    # Truncation toward the W average changes the output.
+    img_tr = g.apply(variables, z, c, truncation_psi=0.5)
+    assert not np.allclose(np.asarray(img), np.asarray(img_tr))
+    # W moving-average update mutates 'stats'.
+    _, mutated = g.apply(variables, z, c, update_avg=True, mutable=["stats"])
+    assert float(jnp.abs(mutated["stats"]["mapping"]["x_avg"]).sum()) > 0
+
+
+def test_projected_discriminator():
+    d = ProjectedDiscriminator(c_dim=8, vit=TINY_VIT)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 32, 32))
+    c = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    variables = d.init(jax.random.PRNGKey(2), x, c)
+    logits = d.apply(variables, x, c, rng=jax.random.PRNGKey(3))
+    n_tokens = (32 // 8) ** 2
+    n_hooks = len(TINY_VIT.hooks) + 1
+    assert logits.shape == (4, n_hooks * n_tokens)
+    # Spectral-norm u update mutates the 'spectral' collection.
+    _, mutated = d.apply(variables, x, c, update_u=True, mutable=["spectral"])
+    assert "spectral" in mutated
+
+
+def test_diff_augment_shapes_and_grad():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 16, 16))
+    y = diff_augment(jax.random.PRNGKey(1), x)
+    assert y.shape == x.shape
+    g = jax.grad(lambda x: jnp.sum(diff_augment(jax.random.PRNGKey(1), x)))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_convert_dino_shapes():
+    cfg = TINY_VIT
+    rng = np.random.RandomState(0)
+    c, L = cfg.width, cfg.layers
+    n_tok = (cfg.image_size // cfg.patch_size) ** 2
+    sd = {
+        "patch_embed.proj.weight": rng.randn(c, 3, cfg.patch_size, cfg.patch_size),
+        "patch_embed.proj.bias": rng.randn(c),
+        "cls_token": rng.randn(1, 1, c),
+        "pos_embed": rng.randn(1, n_tok + 1, c),
+    }
+    for i in range(L):
+        sd.update({
+            f"blocks.{i}.norm1.weight": rng.randn(c), f"blocks.{i}.norm1.bias": rng.randn(c),
+            f"blocks.{i}.norm2.weight": rng.randn(c), f"blocks.{i}.norm2.bias": rng.randn(c),
+            f"blocks.{i}.attn.qkv.weight": rng.randn(3 * c, c),
+            f"blocks.{i}.attn.qkv.bias": rng.randn(3 * c),
+            f"blocks.{i}.attn.proj.weight": rng.randn(c, c),
+            f"blocks.{i}.attn.proj.bias": rng.randn(c),
+            f"blocks.{i}.mlp.fc1.weight": rng.randn(4 * c, c),
+            f"blocks.{i}.mlp.fc1.bias": rng.randn(4 * c),
+            f"blocks.{i}.mlp.fc2.weight": rng.randn(c, 4 * c),
+            f"blocks.{i}.mlp.fc2.bias": rng.randn(c),
+        })
+    params = convert_dino(sd, cfg)
+    vit = DINOViT(cfg)
+    x = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    ref_shapes = jax.tree_util.tree_map(
+        lambda a: a.shape, vit.init(jax.random.PRNGKey(0), x)["params"]
+    )
+    got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params)
+    assert ref_shapes == got_shapes
+    feats = vit.apply({"params": params}, x)
+    assert set(feats) == {str(i) for i in range(len(cfg.hooks) + 1)}
