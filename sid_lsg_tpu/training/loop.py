@@ -388,7 +388,19 @@ def training_loop(cfg: TrainConfig) -> SiDState:
     trainer = Trainer(cfg)
     if cfg.resume == "latest":
         trainer.restore_state()
+    elif cfg.resume and os.path.isdir(os.path.join(cfg.resume, "checkpoints")):
+        # Resume from a previous run dir: restore the full training state
+        # (reference --resume_training path, sid_train.py:279-284 +
+        # sid_training_loop.py:296-311; RNG-independent by construction).
+        from ..runtime.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(os.path.join(cfg.resume, "checkpoints"))
+        trainer.state = mgr.restore(template=trainer.state)
+        runtime.print0(f"Resumed training state from {cfg.resume} "
+                       f"(step {int(trainer.state.step)})")
     elif cfg.resume:
+        # Initialise all three nets from a generator snapshot
+        # (reference --resume pkl path).
         from ..runtime.checkpoint import load_generator_params
 
         gen = load_generator_params(cfg.resume, trainer.pipe.config.unet)
