@@ -22,3 +22,30 @@ Layer map (cf. reference SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Lazy submodule/symbol access: `sid_lsg_tpu.SDPipeline` etc. without paying
+# jax/flax import costs for tooling that only needs __version__.
+_LAZY = {
+    "SDPipeline": ("sid_lsg_tpu.pipeline", "SDPipeline"),
+    "pipeline": ("sid_lsg_tpu.pipeline", None),
+    "models": ("sid_lsg_tpu.models", None),
+    "diffusion": ("sid_lsg_tpu.diffusion", None),
+    "training": ("sid_lsg_tpu.training", None),
+    "parallel": ("sid_lsg_tpu.parallel", None),
+    "metrics": ("sid_lsg_tpu.metrics", None),
+    "data": ("sid_lsg_tpu.data", None),
+    "runtime": ("sid_lsg_tpu.runtime", None),
+    "ops": ("sid_lsg_tpu.ops", None),
+    "native": ("sid_lsg_tpu.native", None),
+    "utils": ("sid_lsg_tpu.utils", None),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module_name, attr = _LAZY[name]
+        module = importlib.import_module(module_name)
+        return getattr(module, attr) if attr else module
+    raise AttributeError(f"module 'sid_lsg_tpu' has no attribute {name!r}")

@@ -24,3 +24,4 @@ __all__ = [
 
 from . import fid_and_clip  # noqa: E402,F401  (registers fid/clip metrics)
 from . import precision_recall  # noqa: E402,F401  (registers pr metric)
+from . import hpsv2  # noqa: E402,F401  (registers the working hpsv2 metric)

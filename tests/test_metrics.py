@@ -179,3 +179,16 @@ def test_convert_inception_folding():
         b, sd["Conv2d_1a_3x3.bn.bias"] - sd["Conv2d_1a_3x3.bn.running_mean"] * scale,
         rtol=1e-5,
     )
+
+
+def test_hpsv2_metric_offline():
+    from sid_lsg_tpu.models.clip_vision import TINY_CLIP, CLIPScorer
+    from sid_lsg_tpu.pipeline import SDPipeline
+
+    pipe = SDPipeline.random_init("tiny")
+    opts = MetricOptions(pipe=pipe, clip=CLIPScorer(TINY_CLIP), batch_size=2,
+                         num_gen=4, verbose=False)
+    opts.hpsv2_prompts = {"photo": ["a", "b"], "anime": ["c", "d"]}
+    res = calc_metric("hpsv2", opts=opts)
+    assert -1 <= res.results.hpsv2_mean <= 1
+    assert set(res.results) == {"hpsv2_photo", "hpsv2_anime", "hpsv2_mean"}
