@@ -22,3 +22,6 @@ __all__ = [
     "attention",
     "flash_attention",
 ]
+from .resample_conv import conv2d_resample, fma, grid_sample
+
+__all__ += ["conv2d_resample", "fma", "grid_sample"]

@@ -173,3 +173,59 @@ def test_attention_grad():
     q = jnp.asarray(rng.randn(1, 2, 8, 4).astype(np.float32))
     g = jax.grad(lambda q: jnp.sum(ops.attention(q, q, q, impl="ref") ** 2))(q)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_conv2d_resample_matches_plain_conv():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sid_lsg_tpu.ops import conv2d_resample, setup_filter
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 3, 8, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 3, 3))
+    # up=down=1 reduces to a plain conv.
+    y = conv2d_resample(x, w, padding=1)
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.transpose(w, (2, 3, 1, 0)), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+    # up=2 doubles the spatial size.
+    f = setup_filter([1, 3, 3, 1])
+    y2 = conv2d_resample(x, w, f=f, up=2, padding=1)
+    assert y2.shape == (2, 5, 16, 16)
+    # down=2 halves it.
+    y3 = conv2d_resample(x, w, f=f, down=2, padding=1)
+    assert y3.shape == (2, 5, 4, 4)
+
+
+def test_grid_sample_identity_and_grads():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sid_lsg_tpu.ops import grid_sample
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 6, 6))
+    # Identity grid (align_corners=False pixel centers).
+    ys = (jnp.arange(6) + 0.5) / 6 * 2 - 1
+    gy, gx = jnp.meshgrid(ys, ys, indexing="ij")
+    grid = jnp.stack([gx, gy], axis=-1)[None]
+    out = grid_sample(x, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+    # 2nd-order grads exist (the reference gradfix capability).
+    loss = lambda g: jnp.sum(grid_sample(x, g) ** 2)
+    hvp = jax.grad(lambda g: jnp.sum(jax.grad(loss)(g) ** 2))(grid)
+    assert np.all(np.isfinite(np.asarray(hvp)))
+
+
+def test_fma():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sid_lsg_tpu.ops import fma
+
+    a, b, c = jnp.ones((2, 2)) * 2, jnp.ones((2, 2)) * 3, jnp.ones((2, 2))
+    np.testing.assert_allclose(np.asarray(fma(a, b, c)), 7.0)
