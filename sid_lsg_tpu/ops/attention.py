@@ -4,14 +4,13 @@ This is the xformers-memory-efficient-attention equivalent demanded by the
 reference (``sid_sd_util.py:102-113`` enables xformers per-UNet; SURVEY.md §5
 "long-context").  Two implementations behind the op registry:
 
-- 'ref': jnp einsum attention with float32 softmax accumulation.  XLA fuses
-  this well; it is the default for *training* because the flash backward
-  kernel lands in a later milestone (forward-only flash + recompute-bwd would
-  materialise the S×S matrix in the VJP anyway).
-- 'pallas': blocked online-softmax (flash) forward — O(S) memory, MXU-tiled,
-  grid (batch*heads, q_blocks, k_blocks) with the k loop innermost so the
-  accumulators live in VMEM scratch across k steps.  Used for inference /
-  no-grad paths (sampler eval branch, metric generation).
+- 'ref': jnp einsum attention with float32 softmax accumulation (XLA-fused;
+  materialises S x S — what the torch reference does with xformers off).
+- 'pallas': blocked online-softmax (flash) forward + hand-derived flash
+  BACKWARD (dq kernel loops k-blocks, dk/dv kernel loops q-blocks, P
+  recomputed from the saved row logsumexp) — O(S) memory in both directions,
+  MXU-tiled, accumulators in VMEM scratch.  Numerical parity with 'ref' is
+  gated by tests/test_pallas_parity.py (fwd atol 2e-5, grads rtol 1e-3).
 
 Layout: (B, H, S, D).  D may be any size (Mosaic pads lanes); kv padding to
 the k block size is handled with an in-kernel iota mask against the static
@@ -52,8 +51,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_bh(x, s_pad):
+    """(B,H,S,D) -> (B*H, s_pad, D)."""
+    b, h, s, d = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+    return x.reshape(b * h, s_pad, d)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def _flash_fwd(q, k, v, scale, block_q, block_k):
+    """Blocked online-softmax forward; also returns the row logsumexp
+    (needed by the flash backward)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -61,16 +69,13 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
     sk = k.shape[2]
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)
-    q_p = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
-    k_p = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
-    v_p = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+    q_p = _pad_bh(q, sq_pad)
+    k_p = _pad_bh(k, sk_pad)
+    v_p = _pad_bh(v, sk_pad)
     bh = b * h
-    q_p = q_p.reshape(bh, sq_pad, d)
-    k_p = k_p.reshape(bh, sk_pad, d)
-    v_p = v_p.reshape(bh, sk_pad, d)
     num_k = sk_pad // block_k
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, acc, m_s, l_s):
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s):
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
@@ -104,8 +109,9 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         @pl.when(ki == num_k - 1)
         def _():
             o_ref[0] = (acc[:] / l_s[:, 0:1]).astype(o_ref.dtype)
+            lse_ref[0] = (m_s[:] + jnp.log(l_s[:]))[:, 0:1][:, 0]
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(bh, sq_pad // block_q, num_k),
         in_specs=[
@@ -113,17 +119,153 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
             pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda b_, qi, ki: (b_, qi, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b_, qi, ki: (b_, qi), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_pad), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
     )(q_p, k_p, v_p)
-    return out.reshape(b, h, sq_pad, d)[:, :, :sq, :]
+    return out.reshape(b, h, sq_pad, d)[:, :, :sq, :], lse.reshape(b, h, sq_pad)[:, :, :sq]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
+    """Flash backward: recompute P blockwise from lse, accumulate dq/dk/dv.
+
+    Two kernels: dq iterates k-blocks per q-block; dk/dv iterate q-blocks per
+    k-block.  O(S) memory — never materialises the S x S matrix (the torch
+    reference without xformers does, sid_sd_util.py:102-113).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+    bh = b * h
+    q_p = _pad_bh(q, sq_pad)
+    k_p = _pad_bh(k, sk_pad)
+    v_p = _pad_bh(v, sk_pad)
+    g_p = _pad_bh(g, sq_pad)
+    o_p = _pad_bh(out, sq_pad)
+    # Padded q rows: lse=-inf would give exp(s - -inf)=inf; use 0 and rely on
+    # the column mask + zero g rows to keep contributions zero.
+    lse_p = jnp.pad(lse.reshape(bh, sq), ((0, 0), (0, sq_pad - sq)))
+    delta = jnp.sum(g_p.astype(jnp.float32) * o_p.astype(jnp.float32), axis=-1)  # (bh, sq_pad)
+    num_k = sk_pad // block_k
+    num_q = sq_pad // block_q
+
+    def dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, d_ref, dq_ref, acc):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        qv = q_ref[0].astype(jnp.float32)
+        kv = k_ref[0].astype(jnp.float32)
+        vv = v_ref[0].astype(jnp.float32)
+        gv = g_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(qv, kv, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        p = jnp.where(col < sk, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        dp = jax.lax.dot_general(gv, vv, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - d_ref[0][:, None]) * scale
+        acc[:] += jax.lax.dot_general(ds, kv, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+        @pl.when(ki == num_k - 1)
+        def _():
+            dq_ref[0] = acc[:].astype(dq_ref.dtype)
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b_, qi, ki: (b_, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b_, qi, ki: (b_, qi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(q_p, k_p, v_p, g_p, lse_p, delta)
+
+    def dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, d_ref, dk_ref, dv_ref,
+                   acc_k, acc_v):
+        qi = pl.program_id(2)
+
+        @pl.when(qi == 0)
+        def _():
+            acc_k[:] = jnp.zeros_like(acc_k)
+            acc_v[:] = jnp.zeros_like(acc_v)
+
+        qv = q_ref[0].astype(jnp.float32)
+        kv = k_ref[0].astype(jnp.float32)
+        vv = v_ref[0].astype(jnp.float32)
+        gv = g_ref[0].astype(jnp.float32)
+        ki = pl.program_id(1)
+        s = jax.lax.dot_general(qv, kv, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        p = jnp.where((col < sk) & (row < sq), jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        dv_blk = jax.lax.dot_general(p, gv, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)  # (Bk, D)
+        acc_v[:] += dv_blk
+        dp = jax.lax.dot_general(gv, vv, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - d_ref[0][:, None]) * scale  # (Bq, Bk)
+        acc_k[:] += jax.lax.dot_general(ds, qv, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+        @pl.when(qi == num_q - 1)
+        def _():
+            dk_ref[0] = acc_k[:].astype(dk_ref.dtype)
+            dv_ref[0] = acc_v[:].astype(dv_ref.dtype)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, num_k, num_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, ki, qi: (b_, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b_, ki, qi: (b_, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b_, ki, qi: (b_, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b_, ki, qi: (b_, qi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(q_p, k_p, v_p, g_p, lse_p, delta)
+
+    unpad = lambda x, s: x.reshape(b, h, -1, d)[:, :, :s, :]
+    return unpad(dq, sq), unpad(dk, sk), unpad(dv, sk)
 
 
 def _attention_pallas(q, k, v, scale, causal, block_q=256, block_k=256):
@@ -136,15 +278,15 @@ def _attention_pallas(q, k, v, scale, causal, block_q=256, block_k=256):
 
     @jax.custom_vjp
     def _op(q, k, v):
-        return _flash_fwd(q, k, v, scale, block_q, block_k)
+        return _flash_fwd(q, k, v, scale, block_q, block_k)[0]
 
     def _fwd(q, k, v):
-        return _op(q, k, v), (q, k, v)
+        out, lse = _flash_fwd(q, k, v, scale, block_q, block_k)
+        return out, (q, k, v, out, lse)
 
     def _bwd(res, g):
-        q, k, v = res
-        _, vjp = jax.vjp(lambda a, b_, c: _attention_ref(a, b_, c, scale, causal), q, k, v)
-        return vjp(g)
+        q, k, v, out, lse = res
+        return _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k)
 
     _op.defvjp(_fwd, _bwd)
     return _op(q, k, v)

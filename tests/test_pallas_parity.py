@@ -1,0 +1,80 @@
+"""Pallas-kernel vs jnp-reference parity (interpret mode on CPU).
+
+The reference's own dual-impl pattern ('cuda' vs 'ref', bias_act.py:89-92)
+validated kernels against python references; here every Pallas kernel is
+checked numerically against its registered 'ref' impl — forward AND backward
+(the flash backward is a hand-derived kernel, so gradient parity is the gate).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from sid_lsg_tpu import ops
+
+
+def interp():
+    return pltpu.force_tpu_interpret_mode()
+
+
+@pytest.mark.parametrize("sq,sk,d", [(128, 128, 64), (200, 77, 40), (64, 256, 32)])
+def test_flash_attention_forward_parity(sq, sk, d):
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (2, 3, sq, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 3, sk, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 3, sk, d))
+    ref = ops.attention(q, k, v, impl="ref")
+    with interp():
+        out = ops.attention(q, k, v, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_backward_parity():
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 160, 32))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 96, 32))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 96, 32))
+
+    def loss(impl, q, k, v):
+        out = ops.attention(q, k, v, impl=impl)
+        return jnp.sum(jnp.sin(out))
+
+    g_ref = jax.grad(functools.partial(loss, "ref"), argnums=(0, 1, 2))(q, k, v)
+    with interp():
+        g_pal = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_pal, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_groupnorm_pallas_parity():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+    gamma = jax.random.normal(jax.random.PRNGKey(1), (128,)) + 1.0
+    beta = jax.random.normal(jax.random.PRNGKey(2), (128,))
+    ref = ops.group_norm(x, gamma, beta, num_groups=8, silu=True, impl="ref")
+    with interp():
+        out = ops.group_norm(x, gamma, beta, num_groups=8, silu=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    # Gradient parity (pallas path recomputes via ref in VJP by design).
+    f = lambda impl, x: jnp.sum(
+        ops.group_norm(x, gamma, beta, num_groups=8, silu=True, impl=impl) ** 2
+    )
+    g_ref = jax.grad(functools.partial(f, "ref"))(x)
+    with interp():
+        g_pal = jax.grad(functools.partial(f, "pallas"))(x)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("act", ["lrelu", "swish", "linear"])
+def test_bias_act_pallas_parity(act):
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 128))
+    b = jax.random.normal(jax.random.PRNGKey(1), (64,))
+    ref = ops.bias_act(x, b, dim=1, act=act, gain=1.3, clamp=5.0, impl="ref")
+    with interp():
+        out = ops.bias_act(x, b, dim=1, act=act, gain=1.3, clamp=5.0, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
