@@ -37,6 +37,7 @@ from ..parallel import runtime
 @click.option("--use_bf16", type=bool, default=True, show_default=True)
 @click.option("--inception_weights", type=str, default=None)
 @click.option("--clip_weights", type=str, default=None)
+@click.option("--hpsv2_prompts", help="{style: [prompts]} json for the hpsv2 metric", type=str, default=None)
 @click.option("--list", "list_only", help="List registered metrics and exit", is_flag=True)
 def main(
     metrics: str,
@@ -52,6 +53,7 @@ def main(
     use_bf16: bool,
     inception_weights: Optional[str],
     clip_weights: Optional[str],
+    hpsv2_prompts: Optional[str],
     list_only: bool,
 ) -> None:
     if list_only:
@@ -80,6 +82,10 @@ def main(
         num_steps_eval=num_steps_eval,
         resolution=resolution,
     )
+    if hpsv2_prompts:
+        opts.hpsv2_prompts = hpsv2_prompts
+    if "hpsv2" in metrics and opts.clip is None:
+        opts.clip = clip_scorer(clip_weights)
     os.makedirs(run_dir, exist_ok=True)
     for metric in metrics.split(","):
         result = calc_metric(metric.strip(), opts=opts)
