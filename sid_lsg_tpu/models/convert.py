@@ -15,7 +15,7 @@ the reverse (flax -> HF names) mapping for checkpoint export parity.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -36,14 +36,56 @@ def _set(tree: dict, path: str, value: np.ndarray) -> None:
     node[parts[-1]] = value
 
 
+# Inverse transforms for checkpoint EXPORT (flax -> HF layout).
+_INV = {_LINEAR: lambda w: np.ascontiguousarray(np.asarray(w).T),
+        _CONV: lambda w: np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1))),
+        _ID: lambda w: np.asarray(w)}
+
+
+def _flatten_params(tree: dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_params(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
 class _Mapper:
-    def __init__(self, state_dict: Dict[str, np.ndarray], prefix: str = ""):
+    """Structural map between HF torch state dicts and Flax pytrees.
+
+    ``invert=False``: read HF keys, build the flax tree (import).
+    ``invert=True``: read a flax tree (flattened), emit HF keys (export) —
+    the round-trip promised by the module docstring; gated by
+    tests/test_convert_roundtrip.py.
+    """
+
+    def __init__(self, state_dict: Dict[str, np.ndarray], prefix: str = "",
+                 invert: bool = False, flax_params: Optional[dict] = None):
         self.sd = state_dict
         self.prefix = prefix
         self.tree: dict = {}
         self.used: set = set()
+        self.invert = invert
+        self.flat = _flatten_params(flax_params) if flax_params is not None else {}
+        self.out: Dict[str, np.ndarray] = {}
+
+    def has(self, flax_path: str, hf_key: str) -> bool:
+        """Presence check valid in both directions."""
+        if self.invert:
+            return flax_path in self.flat
+        return self.prefix + hf_key in self.sd
 
     def take(self, flax_path: str, hf_key: str, transform: Transform = _ID, optional: bool = False):
+        if self.invert:
+            if flax_path not in self.flat:
+                if optional:
+                    return
+                raise KeyError(f"missing flax param: {flax_path}")
+            self.out[self.prefix + hf_key] = _INV[transform](self.flat[flax_path])
+            return
         key = self.prefix + hf_key
         if key not in self.sd:
             if optional:
@@ -102,12 +144,11 @@ def _map_resnet(m: _Mapper, flax_path: str, hf_path: str, temb: bool = True) -> 
         m.linear(f"{flax_path}/time_emb_proj", f"{hf_path}.time_emb_proj", optional=True)
     m.norm(f"{flax_path}/norm2", f"{hf_path}.norm2")
     m.conv(f"{flax_path}/conv2", f"{hf_path}.conv2")
-    if f"{m.prefix}{hf_path}.conv_shortcut.weight" in m.sd:
+    if m.has(f"{flax_path}/conv_shortcut/kernel", f"{hf_path}.conv_shortcut.weight"):
         m.conv(f"{flax_path}/conv_shortcut", f"{hf_path}.conv_shortcut")
 
 
-def convert_unet(state_dict: Dict[str, np.ndarray], cfg: UNetConfig) -> dict:
-    m = _Mapper(state_dict)
+def _run_unet(m: _Mapper, cfg: UNetConfig) -> None:
     n = len(cfg.block_out_channels)
     m.conv("conv_in", "conv_in")
     m.linear("time_embedding/linear_1", "time_embedding.linear_1")
@@ -132,12 +173,24 @@ def convert_unet(state_dict: Dict[str, np.ndarray], cfg: UNetConfig) -> dict:
             m.conv(f"up_{i}_upsample/conv", f"up_blocks.{k}.upsamplers.0.conv")
     m.norm("conv_norm_out", "conv_norm_out")
     m.conv("conv_out", "conv_out")
+
+
+def convert_unet(state_dict: Dict[str, np.ndarray], cfg: UNetConfig) -> dict:
+    m = _Mapper(state_dict)
+    _run_unet(m, cfg)
     return m.tree
+
+
+def export_unet(params: dict, cfg: UNetConfig) -> Dict[str, np.ndarray]:
+    """Flax UNet params -> HF-layout torch-style state dict (numpy)."""
+    m = _Mapper({}, invert=True, flax_params=params)
+    _run_unet(m, cfg)
+    return m.out
 
 
 def _map_vae_attn(m: _Mapper, flax_path: str, hf_path: str) -> None:
     m.norm(f"{flax_path}/group_norm", f"{hf_path}.group_norm")
-    if f"{m.prefix}{hf_path}.to_q.weight" in m.sd:
+    if m.invert or f"{m.prefix}{hf_path}.to_q.weight" in m.sd:
         _map_attention(m, f"{flax_path}/attn", hf_path, qkv_bias=True)
     else:  # older diffusers naming: query/key/value/proj_attn
         m.linear(f"{flax_path}/attn/to_q", f"{hf_path}.query")
@@ -146,8 +199,7 @@ def _map_vae_attn(m: _Mapper, flax_path: str, hf_path: str) -> None:
         m.linear(f"{flax_path}/attn/to_out", f"{hf_path}.proj_attn")
 
 
-def convert_vae(state_dict: Dict[str, np.ndarray], cfg: VAEConfig) -> dict:
-    m = _Mapper(state_dict)
+def _run_vae(m: _Mapper, cfg: VAEConfig) -> None:
     n = len(cfg.block_out_channels)
     # Encoder.
     m.conv("encoder/conv_in", "encoder.conv_in")
@@ -175,12 +227,21 @@ def convert_vae(state_dict: Dict[str, np.ndarray], cfg: VAEConfig) -> dict:
     m.conv("decoder/conv_out", "decoder.conv_out")
     m.conv("quant_conv", "quant_conv")
     m.conv("post_quant_conv", "post_quant_conv")
+
+
+def convert_vae(state_dict: Dict[str, np.ndarray], cfg: VAEConfig) -> dict:
+    m = _Mapper(state_dict)
+    _run_vae(m, cfg)
     return m.tree
 
 
-def convert_clip_text(state_dict: Dict[str, np.ndarray], cfg: CLIPTextConfig) -> dict:
-    m = _Mapper(state_dict, prefix="text_model." if any(
-        k.startswith("text_model.") for k in state_dict) else "")
+def export_vae(params: dict, cfg: VAEConfig) -> Dict[str, np.ndarray]:
+    m = _Mapper({}, invert=True, flax_params=params)
+    _run_vae(m, cfg)
+    return m.out
+
+
+def _run_clip_text(m: _Mapper, cfg: CLIPTextConfig) -> None:
     m.take("token_embedding/embedding", "embeddings.token_embedding.weight")
     m.take("position_embedding/embedding", "embeddings.position_embedding.weight")
     for i in range(cfg.num_hidden_layers):
@@ -195,7 +256,19 @@ def convert_clip_text(state_dict: Dict[str, np.ndarray], cfg: CLIPTextConfig) ->
         m.linear(f"{fp}/fc1", f"{hp}.mlp.fc1")
         m.linear(f"{fp}/fc2", f"{hp}.mlp.fc2")
     m.ln("final_layer_norm", "final_layer_norm")
+
+
+def convert_clip_text(state_dict: Dict[str, np.ndarray], cfg: CLIPTextConfig) -> dict:
+    m = _Mapper(state_dict, prefix="text_model." if any(
+        k.startswith("text_model.") for k in state_dict) else "")
+    _run_clip_text(m, cfg)
     return m.tree
+
+
+def export_clip_text(params: dict, cfg: CLIPTextConfig) -> Dict[str, np.ndarray]:
+    m = _Mapper({}, prefix="text_model.", invert=True, flax_params=params)
+    _run_clip_text(m, cfg)
+    return m.out
 
 
 # ---------------------------------------------------------------------------
