@@ -109,7 +109,10 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         @pl.when(ki == num_k - 1)
         def _():
             o_ref[0] = (acc[:] / l_s[:, 0:1]).astype(o_ref.dtype)
-            lse_ref[0] = (m_s[:] + jnp.log(l_s[:]))[:, 0:1][:, 0]
+            # lse carried sublane-padded: (8, block_q) broadcast rows satisfy
+            # the Mosaic (8, 128) block-tiling constraint.
+            lse_row = (m_s[:, 0] + jnp.log(l_s[:, 0]))  # (block_q,)
+            lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, block_q))
 
     out, lse = pl.pallas_call(
         kernel,
@@ -121,11 +124,11 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b_, qi, ki: (b_, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b_, qi, ki: (b_, 0, qi), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, sq_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
@@ -133,7 +136,10 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
     )(q_p, k_p, v_p)
-    return out.reshape(b, h, sq_pad, d)[:, :, :sq, :], lse.reshape(b, h, sq_pad)[:, :, :sq]
+    return (
+        out.reshape(b, h, sq_pad, d)[:, :, :sq, :],
+        lse[:, 0, :].reshape(b, h, sq_pad)[:, :, :sq],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
@@ -161,6 +167,9 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
     # the column mask + zero g rows to keep contributions zero.
     lse_p = jnp.pad(lse.reshape(bh, sq), ((0, 0), (0, sq_pad - sq)))
     delta = jnp.sum(g_p.astype(jnp.float32) * o_p.astype(jnp.float32), axis=-1)  # (bh, sq_pad)
+    # Sublane-padded (bh, 8, S) layout for per-row scalars (Mosaic tiling).
+    lse8 = jnp.broadcast_to(lse_p[:, None, :], (bh, 8, sq_pad))
+    delta8 = jnp.broadcast_to(delta[:, None, :], (bh, 8, sq_pad))
     num_k = sk_pad // block_k
     num_q = sq_pad // block_q
 
@@ -178,10 +187,10 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
         s = jax.lax.dot_general(qv, kv, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        p = jnp.where(col < sk, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        p = jnp.where(col < sk, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
         dp = jax.lax.dot_general(gv, vv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - d_ref[0][:, None]) * scale
+        ds = p * (dp - d_ref[0, 0][:, None]) * scale
         acc[:] += jax.lax.dot_general(ds, kv, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
 
@@ -197,14 +206,14 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
             pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b_, qi, ki: (b_, qi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b_, qi, ki: (b_, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b_, qi, ki: (b_, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b_, qi, ki: (b_, 0, qi), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-    )(q_p, k_p, v_p, g_p, lse_p, delta)
+    )(q_p, k_p, v_p, g_p, lse8, delta8)
 
     def dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, d_ref, dk_ref, dv_ref,
                    acc_k, acc_v):
@@ -224,13 +233,13 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
                                 preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-        p = jnp.where((col < sk) & (row < sq), jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        p = jnp.where((col < sk) & (row < sq), jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
         dv_blk = jax.lax.dot_general(p, gv, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)  # (Bk, D)
         acc_v[:] += dv_blk
         dp = jax.lax.dot_general(gv, vv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - d_ref[0][:, None]) * scale  # (Bq, Bk)
+        ds = p * (dp - d_ref[0, 0][:, None]) * scale  # (Bq, Bk)
         acc_k[:] += jax.lax.dot_general(ds, qv, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
@@ -247,8 +256,8 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
             pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda b_, ki, qi: (b_, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b_, ki, qi: (b_, qi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b_, ki, qi: (b_, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b_, ki, qi: (b_, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b_, ki, qi: (b_, 0, qi), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
@@ -262,7 +271,7 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
-    )(q_p, k_p, v_p, g_p, lse_p, delta)
+    )(q_p, k_p, v_p, g_p, lse8, delta8)
 
     unpad = lambda x, s: x.reshape(b, h, -1, d)[:, :, :s, :]
     return unpad(dq, sq), unpad(dk, sk), unpad(dv, sk)
