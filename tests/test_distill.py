@@ -136,3 +136,11 @@ def test_train_step_on_mesh():
     state1, m = jax.jit(step)(sharded_state, teacher, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["fake_score_loss"]))
     assert np.isfinite(float(m["g_loss"]))
+
+
+def test_train_step_multistep_generator():
+    """num_steps=2 generator (sid_sd_util.py:176-185 multistep branch)."""
+    step, state, params0, batch = tiny_setup(num_steps=2)
+    _, m = jax.jit(step)(state, params0, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["fake_score_loss"]))
+    assert np.isfinite(float(m["g_loss"]))
