@@ -29,6 +29,9 @@ def _zeros_params(module, *args):
 
 
 def main():
+    from sid_lsg_tpu.runtime.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     from sid_lsg_tpu import models
     from sid_lsg_tpu.diffusion import DDPMScheduler
 

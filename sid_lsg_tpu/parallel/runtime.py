@@ -40,6 +40,9 @@ def init_distributed(
     global _initialized
     if _initialized:
         return
+    from ..runtime.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     explicit = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     multi_env = os.environ.get("JAX_NUM_PROCESSES") or num_processes
     if explicit or (multi_env and int(multi_env) > 1):

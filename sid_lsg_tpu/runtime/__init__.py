@@ -1,3 +1,4 @@
+from .compile_cache import enable as enable_compile_cache
 from .checkpoint import (
     CheckpointManager,
     export_generator,
@@ -10,4 +11,5 @@ __all__ = [
     "export_generator",
     "load_generator_params",
     "torch_pickle_state_dict",
+    "enable_compile_cache",
 ]

@@ -1,0 +1,37 @@
+"""Persistent XLA compilation cache wiring.
+
+The SiD train step is a very large XLA program (8 UNet forwards, backprop
+through 5) — cold compiles run minutes.  The persistent cache makes that a
+one-time cost per (program, topology): every CLI calls ``enable()`` at
+startup.  Opt out with SIDLSG_NO_COMPILE_CACHE=1; relocate with
+SIDLSG_COMPILE_CACHE_DIR.
+
+(The reference's analogue is cuDNN benchmark autotuning + torch's kernel
+caches, sid_training_loop.py:240-243.)
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable(cache_dir: str | None = None) -> None:
+    global _enabled
+    if _enabled or os.environ.get("SIDLSG_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "SIDLSG_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "sid_lsg_tpu", "xla"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax: flag names differ; cache is an optimisation only
+    _enabled = True
