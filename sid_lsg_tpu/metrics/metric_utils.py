@@ -49,9 +49,11 @@ def compute_feature_stats_for_dataset(
     dataset = CocoCaptionDataset(opts.dataset_path, resolution=opts.resolution)
     n = len(dataset) if max_items is None else min(len(dataset), max_items)
 
-    # md5 cache over the defining arguments (reference :247-263).
+    # md5 cache over the defining arguments (reference :247-263); the detector
+    # weights path is part of the key so swapping weights invalidates stats.
+    detector_id = (detector_name, os.environ.get("SIDLSG_INCEPTION_WEIGHTS", ""))
     cache_tag = hashlib.md5(
-        repr((os.path.abspath(opts.dataset_path), detector_name, n,
+        repr((os.path.abspath(opts.dataset_path), detector_id, n,
               opts.resolution, capture_all)).encode()
     ).hexdigest()
     cache_file = os.path.join(opts.cache_dir, f"real-stats-{dataset.name}-{cache_tag}.pkl")
