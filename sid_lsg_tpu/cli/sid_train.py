@@ -119,12 +119,22 @@ def main(**opts) -> None:
         print("Dry run; exiting.")
         return
 
+    # Host 0 allocates the numbered run dir; other hosts (shared filesystem)
+    # resolve the same path after the barrier — orbax multi-host saves need
+    # every process to address one directory.
     if runtime.get_process_index() == 0:
         cfg.run_dir = make_run_dir(opts["outdir"], desc)
-    else:
-        cfg.run_dir = ""  # non-zero hosts write nothing
+    runtime.sync_hosts("run-dir")
+    if runtime.get_process_index() != 0:
+        candidates = sorted(
+            d for d in os.listdir(opts["outdir"]) if d.endswith(f"-{desc}")
+        )
+        cfg.run_dir = os.path.join(opts["outdir"], candidates[-1])
     logger = Logger(
-        os.path.join(cfg.run_dir, "log.txt") if cfg.run_dir else None, "a"
+        os.path.join(cfg.run_dir, "log.txt")
+        if runtime.get_process_index() == 0
+        else None,
+        "a",
     )
     try:
         print(f"Output directory: {cfg.run_dir}")
