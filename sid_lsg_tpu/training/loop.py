@@ -359,10 +359,16 @@ class Trainer:
                     for nse in (1, 2, 4) if cfg.num_steps > 1 else (1,):
                         self.pipe.params["generator"] = self.state.ema
                         self.sample_grid(cur_nimg // 1000, num_steps_eval=nse)
-                if cfg.snapshot_ticks and cur_tick and cur_tick % cfg.snapshot_ticks == 0:
-                    snap_path = self.save_snapshot(cur_nimg // 1000)
-                    if cfg.metrics and cfg.metric_ticks and cur_tick % cfg.metric_ticks == 0:
-                        self.eval_metrics(snap_path)
+            # Snapshot on host 0; metric loops are process-strided, so EVERY
+            # host participates in eval (reporting stays host-0 inside).
+            if cfg.snapshot_ticks and cur_tick and cur_tick % cfg.snapshot_ticks == 0:
+                snap_path = (
+                    self.save_snapshot(cur_nimg // 1000)
+                    if runtime.get_process_index() == 0 and os.path.isdir(cfg.run_dir)
+                    else None
+                )
+                if cfg.metrics and cfg.metric_ticks and cur_tick % cfg.metric_ticks == 0:
+                    self.eval_metrics(snap_path)
             if cfg.state_dump_ticks and cur_tick and cur_tick % cfg.state_dump_ticks == 0:
                 self.save_state(int(self.state.step))
             maintenance_time = time.time() - maintenance_start
