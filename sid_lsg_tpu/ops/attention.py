@@ -277,10 +277,30 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
     return unpad(dq, sq), unpad(dk, sk), unpad(dv, sk)
 
 
-def _attention_pallas(q, k, v, scale, causal, block_q=256, block_k=256):
+def _pick_blocks(d: int):
+    """VMEM-aware block sizes, tuned on v5e (BENCH_NOTES.md).
+
+    At the SD UNet head dims (40-160), (512, 1024) runs fwd+bwd 2.1x faster
+    than (256, 256) and 3.7x faster than the XLA S x S reference.  Large d
+    (e.g. the VAE's single-head d=512) must shrink blocks to fit the ~16MB
+    scoped VMEM budget (q/k/v tiles + the block_q x block_k logits tile,
+    double-buffered).
+    """
+    if d <= 128:
+        return 512, 1024
+    if d <= 256:
+        return 512, 512
+    return 256, 512
+
+
+def _attention_pallas(q, k, v, scale, causal, block_q=None, block_k=None):
     if causal:
         # Causal path (CLIP text, S=77) is tiny; XLA handles it.
         return _attention_ref(q, k, v, scale, causal)
+    d = q.shape[3]
+    default_q, default_k = _pick_blocks(d)
+    block_q = block_q or default_q
+    block_k = block_k or default_k
     sq, sk = q.shape[2], k.shape[2]
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))

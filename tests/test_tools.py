@@ -113,3 +113,28 @@ def test_misc_utils():
         return x * 2
 
     assert float(f(jnp.float32(3.0))) == 6.0
+
+
+def test_sid_metrics_cli(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    coco = tmp_path / "coco"
+    coco.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        Image.fromarray(rng.randint(0, 256, (32, 32, 3), np.uint8)).save(coco / f"i{i}.png")
+        (coco / f"i{i}.txt").write_text(f"cap {i}")
+    out = tmp_path / "res"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               SIDLSG_OPS_IMPL="ref")
+    r = subprocess.run(
+        [sys.executable, "-m", "sid_lsg_tpu.cli.sid_metrics",
+         "--metrics", "fid_test", "--data", str(coco), "--repo_id", "tiny",
+         "--outdir", str(out), "--num", "4", "--batch", "4",
+         "--resolution", "32", "--use_bf16", "0"],
+        capture_output=True, text=True, timeout=500, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "metric-fid_test.jsonl").exists()
+    assert (out / "fid_test.txt").exists()
