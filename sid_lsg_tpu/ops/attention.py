@@ -84,12 +84,12 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
             m_s[:] = jnp.full_like(m_s, NEG_INF)
             l_s[:] = jnp.zeros_like(l_s)
 
-        qv = q_ref[0].astype(jnp.float32)  # (Bq, D)
-        kv = k_ref[0].astype(jnp.float32)  # (Bk, D)
-        vv = v_ref[0].astype(jnp.float32)
+        qv = q_ref[0]  # (Bq, D) native dtype -> MXU runs bf16 at full rate
+        kv = k_ref[0]  # (Bk, D)
+        vv = v_ref[0]
         s = jax.lax.dot_general(
             qv, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (Bq, Bk)
+        ) * scale  # (Bq, Bk) f32 accumulators
         # Mask out kv padding for the final k block.
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
         s = jnp.where(col < sk, s, NEG_INF)
@@ -101,7 +101,8 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         alpha = jnp.exp(m_prev - m_new)  # (Bq, 1)
         l_new = alpha * l_s[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
         acc[:] = acc[:] * alpha + jax.lax.dot_general(
-            p, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         m_s[:, 0:1] = m_new
         l_s[:, 0:1] = l_new
@@ -180,10 +181,10 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        qv = q_ref[0].astype(jnp.float32)
-        kv = k_ref[0].astype(jnp.float32)
-        vv = v_ref[0].astype(jnp.float32)
-        gv = g_ref[0].astype(jnp.float32)
+        qv = q_ref[0]
+        kv = k_ref[0]
+        vv = v_ref[0]
+        gv = g_ref[0]
         s = jax.lax.dot_general(qv, kv, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
@@ -191,7 +192,7 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
         dp = jax.lax.dot_general(gv, vv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - d_ref[0, 0][:, None]) * scale
-        acc[:] += jax.lax.dot_general(ds, kv, (((1,), (0,)), ((), ())),
+        acc[:] += jax.lax.dot_general(ds.astype(kv.dtype), kv, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
 
         @pl.when(ki == num_k - 1)
@@ -224,23 +225,23 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
             acc_k[:] = jnp.zeros_like(acc_k)
             acc_v[:] = jnp.zeros_like(acc_v)
 
-        qv = q_ref[0].astype(jnp.float32)
-        kv = k_ref[0].astype(jnp.float32)
-        vv = v_ref[0].astype(jnp.float32)
-        gv = g_ref[0].astype(jnp.float32)
+        qv = q_ref[0]
+        kv = k_ref[0]
+        vv = v_ref[0]
+        gv = g_ref[0]
         ki = pl.program_id(1)
         s = jax.lax.dot_general(qv, kv, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
         p = jnp.where((col < sk) & (row < sq), jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
-        dv_blk = jax.lax.dot_general(p, gv, (((0,), (0,)), ((), ())),
+        dv_blk = jax.lax.dot_general(p.astype(gv.dtype), gv, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)  # (Bk, D)
         acc_v[:] += dv_blk
         dp = jax.lax.dot_general(gv, vv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - d_ref[0, 0][:, None]) * scale  # (Bq, Bk)
-        acc_k[:] += jax.lax.dot_general(ds, qv, (((0,), (0,)), ((), ())),
+        acc_k[:] += jax.lax.dot_general(ds.astype(qv.dtype), qv, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
         @pl.when(qi == num_q - 1)
