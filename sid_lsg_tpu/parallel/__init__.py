@@ -1,6 +1,7 @@
 from .mesh import (
     MeshConfig,
     batch_sharding,
+    make_hybrid_mesh,
     make_mesh,
     param_shardings,
     replicated_sharding,
@@ -20,6 +21,7 @@ from .runtime import (
 __all__ = [
     "MeshConfig",
     "batch_sharding",
+    "make_hybrid_mesh",
     "make_mesh",
     "param_shardings",
     "replicated_sharding",

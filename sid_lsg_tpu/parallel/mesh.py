@@ -64,6 +64,37 @@ def make_mesh(
     return Mesh(arr, (DP_AXIS, FSDP_AXIS))
 
 
+def make_hybrid_mesh(fsdp: int = 1, dp_per_slice: Optional[int] = None) -> Mesh:
+    """Multi-slice mesh: dp spans slices over DCN, fsdp stays inside a slice.
+
+    SURVEY.md §2.3 stretch (multi-slice DCN data parallelism): parameter
+    all-gathers (fsdp) must ride ICI, so fsdp is the inner per-slice axis;
+    gradient psum over dp crosses DCN once per step — the bandwidth-correct
+    layout per the scaling-book recipe.  Falls back to ``make_mesh`` in
+    single-slice environments.
+    """
+    try:
+        num_slices = 1 + max(
+            getattr(d, "slice_index", 0) or 0 for d in jax.devices()
+        )
+    except Exception:
+        num_slices = 1
+    if num_slices <= 1:
+        return make_mesh(fsdp=fsdp, dp=dp_per_slice)
+    from jax.experimental import mesh_utils
+
+    per_slice = len(jax.devices()) // num_slices
+    if per_slice % fsdp != 0:
+        raise ValueError(f"per-slice device count {per_slice} not divisible by fsdp={fsdp}")
+    dp_inner = dp_per_slice if dp_per_slice is not None else per_slice // fsdp
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(dp_inner, fsdp),
+        dcn_mesh_shape=(num_slices, 1),
+        devices=jax.devices(),
+    )
+    return Mesh(devices.reshape(num_slices * dp_inner, fsdp), (DP_AXIS, FSDP_AXIS))
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard axis 0 of data arrays over ALL devices (dp x fsdp combined)."""
     spec = P((DP_AXIS, FSDP_AXIS), *([None] * (ndim - 1)))
