@@ -60,6 +60,7 @@ from ..utils.util import Logger, make_run_dir
 @click.option("--resume_kimg", type=int, default=0)
 @click.option("--desc", help="Run-dir description suffix", type=str, default=None)
 @click.option("--max-ticks", "max_ticks", help="Stop after N ticks (smoke runs)", type=int, default=None)
+@click.option("--profile-dir", "profile_dir", help="Capture a jax profiler trace of a few steps here", type=str, default=None)
 @click.option("--dry-run", "dry_run", help="Print options and exit", is_flag=True)
 def main(**opts) -> None:
     dataset_name = (
@@ -110,6 +111,7 @@ def main(**opts) -> None:
         resume=opts["resume"],
         resume_kimg=opts["resume_kimg"],
         max_ticks=opts["max_ticks"],
+        profile_dir=opts["profile_dir"],
     )
 
     if opts["dry_run"]:

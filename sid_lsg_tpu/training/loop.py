@@ -90,6 +90,10 @@ class TrainConfig:
     metric_data: Optional[str] = None  # prepared COCO eval folder
     metric_ticks: int = 50
     metric_num_gen: int = 30000
+    # Profiling: capture a jax profiler trace of steps [start, start+count).
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 2  # skip compile + warmup
+    profile_steps: int = 3
     # Resume.
     resume: Optional[str] = None
     resume_kimg: int = 0
@@ -304,9 +308,24 @@ class Trainer:
         collector = training_stats.Collector(regex=".*")
         runtime.print0(f"Training for {cfg.total_kimg} kimg (batch {cfg.batch_size}, "
                        f"{self.a_rounds} accumulation rounds)...")
+        step_idx = 0
+        profiling = False
         while True:
+            if cfg.profile_dir and step_idx == cfg.profile_start_step:
+                from ..utils.misc import start_profiler_trace
+
+                start_profiler_trace(cfg.profile_dir)
+                profiling = True
             batch = self.next_batch()
             self.state, metrics = self.train_step(self.state, self.teacher, batch, rng)
+            if profiling and step_idx + 1 >= cfg.profile_start_step + cfg.profile_steps:
+                from ..utils.misc import stop_profiler_trace
+
+                jax.block_until_ready(metrics)
+                stop_profiler_trace()
+                profiling = False
+                runtime.print0(f"profiler trace written to {cfg.profile_dir}")
+            step_idx += 1
             cur_nimg += cfg.batch_size
             training_stats.report("fake_score_Loss/loss", float(metrics["fake_score_loss"]))
             training_stats.report("G_Loss/loss", float(metrics["g_loss"]))
