@@ -78,3 +78,20 @@ def test_bias_act_pallas_parity(act):
     with interp():
         out = ops.bias_act(x, b, dim=1, act=act, gain=1.3, clamp=5.0, impl="pallas")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_groupnorm_tiled_pallas_parity():
+    """Large-map (tiled two-pass) GN path vs ref."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 128))  # > 6MB block
+    gamma = jax.random.normal(jax.random.PRNGKey(1), (128,)) + 1.0
+    beta = jax.random.normal(jax.random.PRNGKey(2), (128,))
+    ref = ops.group_norm(x, gamma, beta, num_groups=32, silu=True, impl="ref")
+    with interp():
+        out = ops.group_norm(x, gamma, beta, num_groups=32, silu=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-3)
+    # Non-divisible hw block path (pads + masks).
+    x2 = jax.random.normal(jax.random.PRNGKey(3), (1, 65, 33, 128))
+    ref2 = ops.group_norm(x2, gamma, beta, num_groups=8, impl="ref")
+    with interp():
+        out2 = ops.group_norm(x2, gamma, beta, num_groups=8, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=5e-5, rtol=1e-3)
