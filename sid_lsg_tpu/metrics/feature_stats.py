@@ -1,73 +1,136 @@
 """Streaming feature statistics + progress reporting for metric loops.
 
-Counterpart of reference ``metrics/sid_metric_utils.py``'s ``FeatureStats``
-(:112 — raw feature buffer and/or accumulated mean/cov) and
-``ProgressMonitor`` (:192).  The reference synchronises per-batch with an
-O(world²) broadcast interleave (:152-162, flagged defective in SURVEY.md
-§2.5); here accumulation is process-local and merged once at the end with a
-single ``process_allgather`` (moment sums are order-invariant, so no
-interleaving is needed for mean/cov; ``capture_all`` gathers raw features
-only when a metric truly needs them, e.g. precision/recall).
+Fills the role of the reference's metric feature accumulator
+(``metrics/sid_metric_utils.py:112-233``: streaming mean/cov and/or a raw
+feature buffer, with a progress line), with two deliberate departures:
+
+- the reference synchronises per-batch with an O(world²) broadcast interleave
+  (:152-162, flagged defective in SURVEY.md §2.5); here accumulation is
+  process-local and merged once at the end with a single
+  ``process_allgather`` (moment sums are order-invariant, so no interleaving
+  is needed for mean/cov; raw features are gathered only when a metric truly
+  needs them, e.g. precision/recall);
+- internals are structured as a second-moment accumulator dataclass plus a
+  geometrically-growing flat feature buffer rather than the reference's
+  attribute soup, so appends are O(1) amortised with no per-batch list
+  bookkeeping.
 """
 
 from __future__ import annotations
 
+import os
+import pickle
 import time
-from typing import Optional
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
 
 import numpy as np
 
+_SAVE_VERSION = 2
+
+
+@dataclass
+class _Moments:
+    """Order-invariant running sums: count, Σx and Σxᵀx in float64."""
+
+    dim: int
+    count: int = 0
+    sum1: np.ndarray = field(init=False)
+    sum2: np.ndarray = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.sum1 = np.zeros(self.dim, np.float64)
+        self.sum2 = np.zeros((self.dim, self.dim), np.float64)
+
+    def add(self, x: np.ndarray) -> None:
+        x64 = x.astype(np.float64, copy=False)
+        self.count += x64.shape[0]
+        self.sum1 += x64.sum(axis=0)
+        self.sum2 += x64.T @ x64
+
+    def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
+        mean = self.sum1 / self.count
+        cov = self.sum2 / self.count - np.outer(mean, mean)
+        return mean, cov
+
+
+class _GrowBuffer:
+    """Flat (N, dim) float32 store that doubles capacity on demand."""
+
+    def __init__(self, dim: int):
+        self._data = np.empty((256, dim), np.float32)
+        self._n = 0
+
+    def extend(self, x: np.ndarray) -> None:
+        need = self._n + x.shape[0]
+        if need > self._data.shape[0]:
+            cap = max(need, 2 * self._data.shape[0])
+            grown = np.empty((cap, self._data.shape[1]), np.float32)
+            grown[: self._n] = self._data[: self._n]
+            self._data = grown
+        self._data[self._n : need] = x
+        self._n = need
+
+    def view(self) -> np.ndarray:
+        return self._data[: self._n]
+
 
 class FeatureStats:
+    """Streams detector feature batches into moments and/or a raw buffer."""
+
     def __init__(self, capture_all: bool = False, capture_mean_cov: bool = False,
                  max_items: Optional[int] = None):
         self.capture_all = capture_all
         self.capture_mean_cov = capture_mean_cov
         self.max_items = max_items
-        self.num_items = 0
-        self.num_features: Optional[int] = None
-        self.all_features: list = []
-        self.raw_mean: Optional[np.ndarray] = None
-        self.raw_cov: Optional[np.ndarray] = None
+        self._moments: Optional[_Moments] = None
+        self._buffer: Optional[_GrowBuffer] = None
 
-    def set_num_features(self, num_features: int) -> None:
-        if self.num_features is not None:
-            assert num_features == self.num_features
-        else:
-            self.num_features = num_features
-            self.raw_mean = np.zeros(num_features, dtype=np.float64)
-            self.raw_cov = np.zeros((num_features, num_features), dtype=np.float64)
+    # ---------------------------------------------------------------- append
+    @property
+    def num_items(self) -> int:
+        if self._moments is not None:
+            return self._moments.count
+        return self._buffer._n if self._buffer else 0
+
+    @property
+    def num_features(self) -> Optional[int]:
+        if self._moments is not None:
+            return self._moments.dim
+        if self._buffer is not None:
+            return self._buffer.view().shape[1]
+        return None
 
     def is_full(self) -> bool:
         return self.max_items is not None and self.num_items >= self.max_items
 
     def append(self, x: np.ndarray) -> None:
         x = np.asarray(x, dtype=np.float32)
-        assert x.ndim == 2
+        assert x.ndim == 2, f"expected (batch, features), got {x.shape}"
         if self.max_items is not None:
-            if self.num_items >= self.max_items:
+            room = self.max_items - self.num_items
+            if room <= 0:
                 return
-            x = x[: self.max_items - self.num_items]
-        self.set_num_features(x.shape[1])
-        self.num_items += x.shape[0]
-        if self.capture_all:
-            self.all_features.append(x)
+            x = x[:room]
         if self.capture_mean_cov:
-            x64 = x.astype(np.float64)
-            self.raw_mean += x64.sum(axis=0)
-            self.raw_cov += x64.T @ x64
+            if self._moments is None:
+                self._moments = _Moments(x.shape[1])
+            self._moments.add(x)
+        if self.capture_all:
+            if self._buffer is None:
+                self._buffer = _GrowBuffer(x.shape[1])
+            self._buffer.extend(x)
 
+    # --------------------------------------------------------------- results
     def get_all(self) -> np.ndarray:
         assert self.capture_all
-        if not self.all_features:
-            return np.zeros((0, self.num_features or 0), np.float32)
-        return np.concatenate(self.all_features, axis=0)
+        if self._buffer is None:
+            return np.zeros((0, 0), np.float32)
+        return self._buffer.view().copy()
 
-    def get_mean_cov(self):
-        assert self.capture_mean_cov and self.num_items > 0
-        mean = self.raw_mean / self.num_items
-        cov = self.raw_cov / self.num_items - np.outer(mean, mean)
-        return mean, cov
+    def get_mean_cov(self) -> Tuple[np.ndarray, np.ndarray]:
+        assert self.capture_mean_cov and self._moments is not None
+        return self._moments.finalize()
 
     # ------------------------------------------------------------ multihost
     def merge_across_processes(self) -> None:
@@ -79,35 +142,51 @@ class FeatureStats:
         from jax.experimental import multihost_utils as mhu
 
         counts = np.asarray(mhu.process_allgather(np.asarray([self.num_items])))
-        if self.capture_mean_cov:
-            self.raw_mean = np.asarray(mhu.process_allgather(self.raw_mean)).sum(axis=0)
-            self.raw_cov = np.asarray(mhu.process_allgather(self.raw_cov)).sum(axis=0)
-        if self.capture_all:
-            feats = self.get_all()
-            gathered = np.asarray(mhu.process_allgather(feats))
-            self.all_features = [g for g in gathered]
-        self.num_items = int(counts.sum())
+        total = int(counts.sum())
         if self.max_items is not None:
-            self.num_items = min(self.num_items, self.max_items)
+            total = min(total, self.max_items)
+        if self.capture_mean_cov and self._moments is not None:
+            m = self._moments
+            m.sum1 = np.asarray(mhu.process_allgather(m.sum1)).sum(axis=0)
+            m.sum2 = np.asarray(mhu.process_allgather(m.sum2)).sum(axis=0)
+            m.count = total
+        if self.capture_all and self._buffer is not None:
+            gathered = np.asarray(mhu.process_allgather(self._buffer.view()))
+            fresh = _GrowBuffer(gathered.shape[-1])
+            fresh.extend(gathered.reshape(-1, gathered.shape[-1])[:total])
+            self._buffer = fresh
 
     # ---------------------------------------------------------------- cache
     def save(self, path: str) -> None:
-        import os
-        import pickle
-
+        payload = {
+            "version": _SAVE_VERSION,
+            "capture_all": self.capture_all,
+            "capture_mean_cov": self.capture_mean_cov,
+            "max_items": self.max_items,
+            "count": self._moments.count if self._moments else None,
+            "sum1": self._moments.sum1 if self._moments else None,
+            "sum2": self._moments.sum2 if self._moments else None,
+            "features": self._buffer.view() if self._buffer else None,
+        }
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(self.__dict__, f)
-        os.replace(tmp, path)  # atomic (reference sid_metric_utils.py:285-287)
+            pickle.dump(payload, f)
+        os.replace(tmp, path)  # atomic, same guarantee as reference cache writes
 
     @classmethod
     def load(cls, path: str) -> "FeatureStats":
-        import pickle
-
         with open(path, "rb") as f:
             d = pickle.load(f)
-        obj = cls()
-        obj.__dict__.update(d)
+        obj = cls(capture_all=d["capture_all"], capture_mean_cov=d["capture_mean_cov"],
+                  max_items=d["max_items"])
+        if d.get("sum1") is not None:
+            obj._moments = _Moments(d["sum1"].shape[0])
+            obj._moments.count = d["count"]
+            obj._moments.sum1 = d["sum1"]
+            obj._moments.sum2 = d["sum2"]
+        if d.get("features") is not None:
+            obj._buffer = _GrowBuffer(d["features"].shape[1])
+            obj._buffer.extend(d["features"])
         return obj
 
 

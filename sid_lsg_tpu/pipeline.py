@@ -65,10 +65,26 @@ class SDPipeline:
     def from_pretrained(
         cls, model_dir: str, dtype=jnp.float32, prediction_type: Optional[str] = None
     ) -> "SDPipeline":
+        """Load an HF-layout checkpoint dir, or a preset / ``random:`` spec.
+
+        Random initialisation happens ONLY for a known preset name
+        (``tiny``/``sd15``/``sd21base``) or an explicit ``random:<name>``
+        prefix; any other non-directory argument raises, so a typo'd
+        checkpoint path cannot silently train against a random teacher.
+        """
         from .models.convert import load_sd_checkpoint
 
-        if model_dir in PRESETS or not os.path.isdir(model_dir):
+        if model_dir in PRESETS:
             return cls.random_init(model_dir, dtype=dtype)
+        if model_dir.startswith("random:"):
+            return cls.random_init(model_dir[len("random:"):], dtype=dtype)
+        if not os.path.isdir(model_dir):
+            raise FileNotFoundError(
+                f"model {model_dir!r} is not a local checkpoint directory. Pass an "
+                f"HF-layout SD directory (unet/ vae/ text_encoder/ tokenizer/), a "
+                f"preset name {sorted(PRESETS)}, or 'random:<preset-or-repo>' for "
+                f"explicit random initialisation (no weights are downloaded)."
+            )
         cfg = _sniff_config(model_dir)
         unet_p, vae_p, text_p = load_sd_checkpoint(model_dir, cfg)
         tok = load_tokenizer(model_dir)

@@ -10,6 +10,7 @@ because the CLI surface depends on them.
 from __future__ import annotations
 
 import importlib
+import io
 import os
 import sys
 import types
@@ -19,36 +20,57 @@ from typing import Any
 class EasyDict(dict):
     """dict with attribute access; the de-facto config object of the CLI."""
 
+    __setattr__ = dict.__setitem__
+    __delattr__ = dict.__delitem__  # type: ignore[assignment]
+
     def __getattr__(self, name: str) -> Any:
-        try:
+        if name in self:
             return self[name]
-        except KeyError:
-            raise AttributeError(name) from None
+        raise AttributeError(name)
 
-    def __setattr__(self, name: str, value: Any) -> None:
-        self[name] = value
 
-    def __delattr__(self, name: str) -> None:
-        del self[name]
+class _Fanout(io.TextIOBase):
+    """Text stream that mirrors every write to a list of sinks."""
+
+    def __init__(self, sinks: "list[Any]", autoflush: bool):
+        super().__init__()
+        self._sinks = sinks
+        self._autoflush = autoflush
+
+    def writable(self) -> bool:
+        return True
+
+    def write(self, text: str) -> int:
+        for sink in self._sinks:
+            sink.write(text)
+            if self._autoflush:
+                sink.flush()
+        return len(text)
+
+    def flush(self) -> None:
+        for sink in self._sinks:
+            sink.flush()
 
 
 class Logger:
-    """Tee stdout/stderr to a log file (reference dnnlib/util.py:55).
+    """Mirror stdout+stderr into a run-dir ``log.txt``.
 
-    ``file_mode='a'`` appends, ``should_flush`` flushes after every write so a
-    crash leaves a complete log.  Install once per process; uninstall via
-    ``close()``.
+    Fills the role of the reference's log tee (every run leaves a complete
+    ``log.txt``, dnnlib/util.py:55 call sites) but is built differently: the
+    two standard streams are swapped for independent :class:`_Fanout` views
+    that share one log file handle, and ``close()`` restores whichever of
+    them is still ours.  ``file_name=None`` is a no-op logger (console only).
     """
 
-    def __init__(self, file_name: str | None = None, file_mode: str = "w", should_flush: bool = True):
-        self.file = None
-        if file_name is not None:
-            self.file = open(file_name, file_mode)
-        self.should_flush = should_flush
-        self.stdout = sys.stdout
-        self.stderr = sys.stderr
-        sys.stdout = self
-        sys.stderr = self
+    def __init__(self, file_name: str | None = None, file_mode: str = "a", should_flush: bool = True):
+        self._log_file = open(file_name, file_mode) if file_name else None
+        self._prev = {"stdout": sys.stdout, "stderr": sys.stderr}
+        self._tees: dict[str, _Fanout] = {}
+        for name, prev in self._prev.items():
+            sinks = [prev] + ([self._log_file] if self._log_file else [])
+            tee = _Fanout(sinks, autoflush=should_flush)
+            self._tees[name] = tee
+            setattr(sys, name, tee)
 
     def __enter__(self) -> "Logger":
         return self
@@ -56,29 +78,14 @@ class Logger:
     def __exit__(self, *_: Any) -> None:
         self.close()
 
-    def write(self, text: str) -> None:
-        if len(text) == 0:
-            return
-        if self.file is not None:
-            self.file.write(text)
-        self.stdout.write(text)
-        if self.should_flush:
-            self.flush()
-
-    def flush(self) -> None:
-        if self.file is not None:
-            self.file.flush()
-        self.stdout.flush()
-
     def close(self) -> None:
-        self.flush()
-        if sys.stdout is self:
-            sys.stdout = self.stdout
-        if sys.stderr is self:
-            sys.stderr = self.stderr
-        if self.file is not None:
-            self.file.close()
-            self.file = None
+        for name, prev in self._prev.items():
+            if getattr(sys, name) is self._tees.get(name):
+                setattr(sys, name, prev)
+        if self._log_file is not None:
+            self._log_file.flush()
+            self._log_file.close()
+            self._log_file = None
 
 
 def format_time(seconds: float) -> str:

@@ -102,3 +102,18 @@ def test_export_import_generator(tmp_path, tiny_pipe):
     assert len(orig_leaves) == len(new_leaves)
     for a, b in zip(orig_leaves, new_leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_from_pretrained_rejects_unknown_paths(tmp_path):
+    """A typo'd checkpoint path must raise, never silently random-init
+    (round-1 footgun: pipeline.py returned random weights for any
+    non-directory argument)."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        SDPipeline.from_pretrained(str(tmp_path / "no-such-checkpoint"))
+    with pytest.raises(FileNotFoundError):
+        SDPipeline.from_pretrained("runwayml/stable-diffusion-v1-5")
+    # Explicit opt-ins still work.
+    assert SDPipeline.from_pretrained("tiny") is not None
+    assert SDPipeline.from_pretrained("random:tiny") is not None
