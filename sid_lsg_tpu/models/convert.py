@@ -326,3 +326,42 @@ def load_sd_checkpoint(model_dir: str, sd_cfg) -> Tuple[dict, dict, dict]:
         _load_any(_find_weights(os.path.join(model_dir, "text_encoder"))), sd_cfg.text
     )
     return unet, vae, text
+
+
+# ---------------------------------------------------------------------------
+# EDM legacy nets (SongUNet / DhariwalUNet, reference training/networks.py)
+
+
+def convert_edm_unet(state_dict: Dict[str, np.ndarray]) -> dict:
+    """EDM torch state dict -> ``models.edm_networks`` Flax params.
+
+    Handles both SongUNet and DhariwalUNet (reference training/networks.py:
+    229-467): ``enc.16x16_block0.*`` torch module paths become
+    ``enc_16_block0/*`` Flax scopes, OIHW conv kernels -> HWIO, (out,in)
+    linears -> (in,out), GroupNorm ``weight`` -> ``scale``.  A leading
+    ``model.`` prefix (preconditioner-wrapped nets) is stripped; constant
+    ``resample_filter`` buffers are dropped (the Flax modules rebuild them).
+    """
+    tree: dict = {}
+    for key, w in state_dict.items():
+        w = np.asarray(w, dtype=np.float32)
+        parts = key.split(".")
+        if parts[0] == "model":
+            parts = parts[1:]
+        if parts[-1] == "resample_filter" or parts[0] == "u":
+            continue
+        if parts[0] in ("enc", "dec"):
+            res, suffix = parts[1].split("x")[0], parts[1].split("_", 1)[1]
+            mods = [f"{parts[0]}_{res}_{suffix}"] + parts[2:-1]
+        else:
+            mods = parts[:-1]
+        leaf = parts[-1]
+        if leaf == "weight":
+            if w.ndim == 4:
+                leaf, w = "kernel", np.transpose(w, (2, 3, 1, 0))
+            elif w.ndim == 2:
+                leaf, w = "kernel", w.T
+            else:
+                leaf = "scale"  # GroupNorm gain
+        _set(tree, "/".join(mods + [leaf]), np.ascontiguousarray(w))
+    return tree

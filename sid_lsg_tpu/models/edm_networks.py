@@ -161,10 +161,12 @@ class EDMUNetBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
         c_out = self.out_channels
+        # No max(...,1): the reference disables attention when out_channels <
+        # channels_per_head (networks.py:150 num_heads computation).
         heads = (
             self.num_heads
             if self.num_heads is not None
-            else max(c_out // self.channels_per_head, 1)
+            else c_out // self.channels_per_head
         )
         f = ops.setup_filter(list(self.resample_filter))
         mode = "up" if self.up else ("down" if self.down else "keep")
@@ -195,12 +197,15 @@ class EDMUNetBlock(nn.Module):
                 orig = EDMConv(c_out, 1, name="skip")(orig)
         x = (h + orig) * self.skip_scale
 
-        if self.attention:
+        if self.attention and heads > 0:
             a = EDMGroupNorm(self.eps, name="norm2")(x)
             b, hh, ww, _ = a.shape
             qkv = EDMConv(c_out * 3, 1, name="qkv")(a)
-            qkv = qkv.reshape(b, hh * ww, 3, heads, c_out // heads)
-            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            # Channel layout (heads, head_dim, 3): matches the reference's
+            # reshape(B*heads, C//heads, 3, -1) (networks.py:186) so converted
+            # qkv conv weights drop in without permutation.
+            qkv = qkv.reshape(b, hh * ww, heads, c_out // heads, 3)
+            q, k, v = (qkv[..., i].transpose(0, 2, 1, 3) for i in range(3))
             out = ops.attention(q, k, v)
             out = out.transpose(0, 2, 1, 3).reshape(b, hh, ww, c_out)
             out = EDMConv(c_out, 1, init_scale=self.init_zero_scale, name="proj")(out)
@@ -256,10 +261,13 @@ class SongUNet(nn.Module):
             emb = PositionalEmbedding(noise_channels, endpoint=True, name="map_noise")(
                 noise_labels
             )
+        # [cos,sin] -> [sin,cos] swap (reference networks.py:330).
+        cos_half, sin_half = jnp.split(emb, 2, axis=1)
+        emb = jnp.concatenate([sin_half, cos_half], axis=1)
         if self.label_dim:
             assert class_labels is not None
-            emb = emb + EDMLinear(noise_channels, use_bias=False, name="map_label")(
-                class_labels.astype(jnp.float32)
+            emb = emb + EDMLinear(noise_channels, name="map_label")(
+                class_labels.astype(jnp.float32) * float(np.sqrt(self.label_dim))
             )
         if self.augment_dim and augment_labels is not None:
             emb = emb + EDMLinear(noise_channels, use_bias=False, name="map_augment")(
@@ -282,11 +290,18 @@ class SongUNet(nn.Module):
                 h = EDMUNetBlock(c_out, down=True, name=f"enc_{res}_down", **block)(h, emb)
                 if self.encoder_type == "skip":
                     aux = _resample(aux, f, "down")
-                    h = h + EDMConv(c_out, 1, use_bias=False, name=f"enc_{res}_aux_skip")(aux)
+                    h = h + EDMConv(c_out, 1, name=f"enc_{res}_aux_skip")(aux)
                 elif self.encoder_type == "residual":
-                    aux = EDMConv(c_out, 3, name=f"enc_{res}_aux_residual")(
-                        _resample(aux, f, "down")
-                    )
+                    # Fused conv-then-FIR-downsample order (reference Conv2d
+                    # fused_resample=True branch, networks.py:80-82): 3x3 conv
+                    # at full res with w_pad+f_pad padding, then stride-2 FIR
+                    # with no padding.
+                    fp = (len(self.resample_filter) - 1) // 2
+                    a = jnp.pad(aux, ((0, 0), (fp, fp), (fp, fp), (0, 0)))
+                    a = EDMConv(c_out, 3, name=f"enc_{res}_aux_residual")(a)
+                    a = jnp.transpose(a, (0, 3, 1, 2))
+                    a = ops.upfirdn2d(a, f, down=2, padding=0)
+                    aux = jnp.transpose(a, (0, 2, 3, 1))
                     h = (h + aux) * float(np.sqrt(0.5))
                     aux = h
                 skips.append(h)
@@ -304,14 +319,17 @@ class SongUNet(nn.Module):
             res = self.img_resolution >> level
             c_out = self.model_channels * mult
             if level == len(self.channel_mult) - 1:
-                h = EDMUNetBlock(c_out, attention=True, name=f"dec_{res}_in0", **block)(h, emb)
-                h = EDMUNetBlock(c_out, name=f"dec_{res}_in1", **block)(h, emb)
+                h = EDMUNetBlock(h.shape[-1], attention=True, name=f"dec_{res}_in0", **block)(h, emb)
+                h = EDMUNetBlock(h.shape[-1], name=f"dec_{res}_in1", **block)(h, emb)
             else:
-                h = EDMUNetBlock(c_out, up=True, name=f"dec_{res}_up", **block)(h, emb)
+                # Up block keeps the deeper level's width (in == out, ref :310).
+                h = EDMUNetBlock(h.shape[-1], up=True, name=f"dec_{res}_up", **block)(h, emb)
             for idx in range(self.num_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
+                # Only the last decoder block per level attends (networks.py:316).
                 h = EDMUNetBlock(
-                    c_out, attention=(res in self.attn_resolutions),
+                    c_out,
+                    attention=(idx == self.num_blocks and res in self.attn_resolutions),
                     name=f"dec_{res}_block{idx}", **block,
                 )(h, emb)
             if self.decoder_type == "skip" or level == 0:
@@ -362,21 +380,24 @@ class DhariwalUNet(nn.Module):
         emb = EDMLinear(emb_channels, name="map_layer1")(emb)
         if self.label_dim:
             assert class_labels is not None
-            emb = emb + EDMLinear(emb_channels, use_bias=False, name="map_label")(
-                class_labels.astype(jnp.float32)
-                * float(np.sqrt(self.label_dim))
-            )
+            # sqrt(label_dim) gain lives in the INIT weight, not the forward
+            # (reference networks.py:400 init_weight=np.sqrt(label_dim)).
+            emb = emb + EDMLinear(
+                emb_channels, use_bias=False,
+                init_scale=float(np.sqrt(self.label_dim)), name="map_label",
+            )(class_labels.astype(jnp.float32))
         emb = nn.silu(emb)
 
         skips = []
         h = x
-        c_out = self.model_channels
         for level, mult in enumerate(self.channel_mult):
             res = self.img_resolution >> level
             if level == 0:
-                h = EDMConv(c_out, 3, name=f"enc_{res}_conv")(h)
+                # Level-0 conv already uses this level's mult (ref :410).
+                h = EDMConv(self.model_channels * mult, 3, name=f"enc_{res}_conv")(h)
                 skips.append(h)
             else:
+                # Down block keeps the previous level's width (in == out).
                 h = EDMUNetBlock(c_out, down=True, name=f"enc_{res}_down", **block)(h, emb)
                 skips.append(h)
             c_out = self.model_channels * mult
@@ -391,10 +412,10 @@ class DhariwalUNet(nn.Module):
             res = self.img_resolution >> level
             c_out = self.model_channels * mult
             if level == len(self.channel_mult) - 1:
-                h = EDMUNetBlock(c_out, attention=True, name=f"dec_{res}_in0", **block)(h, emb)
-                h = EDMUNetBlock(c_out, name=f"dec_{res}_in1", **block)(h, emb)
+                h = EDMUNetBlock(h.shape[-1], attention=True, name=f"dec_{res}_in0", **block)(h, emb)
+                h = EDMUNetBlock(h.shape[-1], name=f"dec_{res}_in1", **block)(h, emb)
             else:
-                h = EDMUNetBlock(c_out, up=True, name=f"dec_{res}_up", **block)(h, emb)
+                h = EDMUNetBlock(h.shape[-1], up=True, name=f"dec_{res}_up", **block)(h, emb)
             for idx in range(self.num_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = EDMUNetBlock(
@@ -500,10 +521,20 @@ class iDDPMPrecond(_PrecondBase):
     def __init__(self, unet, params, C_1: float = 0.001, C_2: float = 0.008, M: int = 1000):
         super().__init__(unet, params)
         self.C_1, self.C_2, self.M = C_1, C_2, M
-        u = np.zeros(M + 1, dtype=np.float64)
-        alpha_bar = lambda j: np.sin(0.5 * np.pi * j / (M * (C_2 + 1))) ** 2
+        # f32 recursion, op-for-op like the reference (networks.py:596-599):
+        # the u table IS the sigma grid, so rounding must match for
+        # round_sigma indices to agree.
+        one = np.float32(1.0)
+
+        def alpha_bar(j):
+            a = np.float32(0.5 * np.pi) * np.float32(j) / np.float32(M)
+            a = a / np.float32(C_2 + 1)
+            return np.float32(np.sin(a)) ** 2
+
+        u = np.zeros(M + 1, dtype=np.float32)
         for j in range(M, 0, -1):
-            u[j - 1] = np.sqrt((u[j] ** 2 + 1) / max(alpha_bar(j - 1) / alpha_bar(j), C_1) - 1)
+            ratio = np.maximum(alpha_bar(j - 1) / alpha_bar(j), np.float32(C_1))
+            u[j - 1] = np.sqrt((u[j] * u[j] + one) / ratio - one)
         self.u = jnp.asarray(u, jnp.float32)
         self.sigma_min = float(u[M - 1])
         self.sigma_max = float(u[0])
@@ -522,6 +553,9 @@ class iDDPMPrecond(_PrecondBase):
         index = self.round_sigma(sigma.reshape(-1), return_index=True)
         c_noise = (self.M - 1 - index).astype(jnp.float32)
         fx = self._apply(x, c_in, c_noise, class_labels)
+        # iDDPM nets emit 2*img_channels (mean + variance); D_x keeps the mean
+        # half (reference networks.py:617).
+        fx = fx[..., : x.shape[-1]]
         return c_skip * x.astype(jnp.float32) + c_out * fx
 
 

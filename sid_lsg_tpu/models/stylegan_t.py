@@ -56,11 +56,26 @@ def modulated_conv2d(
         w = weight[None] * styles.reshape(b, 1, c_in, 1, 1)  # (B, O, I, kh, kw)
         dcoefs = jax.lax.rsqrt(jnp.sum(jnp.square(w), axis=(2, 3, 4)) + 1e-8)  # (B, O)
     x = x * styles.reshape(b, c_in, 1, 1).astype(x.dtype)
+    kernel = weight
+    conv_pad = padding
     if up > 1:
-        x = ops.upsample2d(x, resample_filter, up=up)
+        # Single up-front padding like conv2d_resample (torch_utils/ops/
+        # conv2d_resample.py:96-99,125-140): pad+zero-stuff+FIR in one
+        # upfirdn2d, then an unpadded conv.  Padding between the stages would
+        # differ at the boundary (hard zeros instead of the FIR tail).
+        fw = resample_filter.shape[-1]
+        p0 = (fw + up - 1) // 2 + padding
+        p1 = (fw - up) // 2 + padding
+        x = ops.upfirdn2d(x, resample_filter, up=up, padding=(p0, p1, p0, p1),
+                          gain=up * up)
+        conv_pad = 0
+        # The reference runs up>1 through transposed conv with the raw kernel
+        # (flip_weight=(up==1), generator.py:270), i.e. CONVOLUTION semantics:
+        # flip the kernel before our correlation-based lax conv.
+        kernel = kernel[:, :, ::-1, ::-1]
     x = jax.lax.conv_general_dilated(
-        x, jnp.transpose(weight, (2, 3, 1, 0)).astype(x.dtype), (1, 1),
-        ((padding, padding), (padding, padding)),
+        x, jnp.transpose(kernel, (2, 3, 1, 0)).astype(x.dtype), (1, 1),
+        ((conv_pad, conv_pad), (conv_pad, conv_pad)),
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
     )
     if demodulate:
@@ -178,7 +193,6 @@ class SynthesisLayer(nn.Module):
                     (self.resolution, self.resolution),
                 )
                 noise = const[None, None] * strength
-        orig = x
         if self.residual:
             gamma = self.param(
                 "gamma", lambda k, s: jnp.full(s, self.layer_scale_init),
@@ -199,7 +213,10 @@ class SynthesisLayer(nn.Module):
         y = ops.bias_act(y, bias.astype(y.dtype), dim=1, act=self.activation,
                          gain=act_gain, clamp=act_clamp)
         if self.residual:
-            y = (gamma * y + orig) * float(np.sqrt(2))
+            # The residual adds the POST-GroupNorm x (reference
+            # generator.py:285-287: x is reassigned to norm(x) before the
+            # conv, and y.add_(x) uses that).
+            y = (gamma * y + x) * float(np.sqrt(2))
         return y
 
 
