@@ -1,0 +1,152 @@
+"""Measure the SiD distillation train step on the visible accelerator.
+
+Parameterised over UNet width / microbatch / LoRA-psi / low-mem optimizer /
+remat so the "largest configuration that fits one chip" (VERDICT round-2
+item 2) is established by measurement, not guesswork.  Prints one JSON line
+with ms/step, img/s/chip, estimated MFU (from XLA cost analysis), and the
+post-step device memory stats.
+
+Usage (serialize TPU runs — the axon claim is per-process):
+  python scripts/bench_train_step.py --width 1.0 --mb 2 --lora --lowmem
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def zeros_params(module, *args):
+    shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args))
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)["params"]
+
+
+def device_mem_gb():
+    stats = jax.local_devices()[0].memory_stats() or {}
+    return {
+        k: round(stats.get(k, 0) / 2**30, 3)
+        for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+        if k in stats
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=float, default=1.0, help="channel multiplier vs SD1.5")
+    ap.add_argument("--mb", type=int, default=2, help="microbatch")
+    ap.add_argument("--rounds", type=int, default=1, help="accumulation rounds")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--lora", action="store_true", help="LoRA-parameterised psi")
+    ap.add_argument("--lowmem", action="store_true", help="bf16/no-mu Adam state")
+    ap.add_argument("--remat", type=int, default=1)
+    ap.add_argument("--kappa", type=float, default=1.5)
+    ap.add_argument("--compile-only", action="store_true")
+    args = ap.parse_args()
+
+    from sid_lsg_tpu import models
+    from sid_lsg_tpu.diffusion import DDPMScheduler
+    from sid_lsg_tpu.runtime.compile_cache import enable as enable_compile_cache
+    from sid_lsg_tpu.training import (
+        DistillConfig, init_state, jit_train_step, make_optimizer, make_train_step,
+    )
+    from sid_lsg_tpu.training.lora import apply_lora, init_lora
+
+    enable_compile_cache()
+    base = models.SD15.unet
+    snap = lambda c: max(64, int(round(c * args.width / 64)) * 64)  # /32 groups, /8 heads
+    ucfg = dataclasses.replace(
+        base,
+        block_out_channels=tuple(snap(c) for c in base.block_out_channels),
+    )
+    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=bool(args.remat))
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+
+    L, D = 77, ucfg.cross_attention_dim
+    lat = jnp.zeros((1, ucfg.sample_size, ucfg.sample_size, 4))
+    params = zeros_params(unet, lat, jnp.zeros((1,), jnp.int32), jnp.zeros((1, L, D)))
+    n_params = sum(int(jnp.size(p)) for p in jax.tree_util.tree_leaves(params))
+
+    fake_transform = None
+    params_fake = None
+    if args.lora:
+        params_fake = init_lora(jax.random.PRNGKey(1), params, rank=4)
+        fake_transform = lambda pf, teacher: apply_lora(teacher, pf)
+
+    cfg = DistillConfig(
+        latent_size=ucfg.sample_size,
+        batch_size=args.mb * args.rounds,
+        cfg_train_fake=args.kappa,
+        cfg_eval_fake=args.kappa,
+        cfg_eval_real=args.kappa,
+        dtype=jnp.bfloat16,
+    )
+    opt_g = make_optimizer(lr=1e-6, low_mem_state=args.lowmem)
+    opt_f = make_optimizer(lr=1e-6, low_mem_state=args.lowmem and not args.lora)
+    step = make_train_step(apply, DDPMScheduler(), cfg, opt_g, opt_f,
+                           fake_transform=fake_transform)
+    jstep = jit_train_step(step)
+
+    state = init_state(params, opt_g, opt_f, params_fake=params_fake)
+    teacher = params
+    batch = {
+        "emb_fake": jnp.zeros((args.rounds, args.mb, L, D)),
+        "emb_g": jnp.zeros((args.rounds, args.mb, L, D)),
+        "uncond_emb": jnp.zeros((L, D)),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    t_c0 = time.perf_counter()
+    lowered = jstep.lower(state, teacher, batch, rng)
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t_c0
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    result = {
+        "width": args.width,
+        "params_m": round(n_params / 1e6, 1),
+        "mb": args.mb,
+        "rounds": args.rounds,
+        "lora": args.lora,
+        "lowmem": args.lowmem,
+        "remat": bool(args.remat),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+    }
+    if args.compile_only:
+        result["mem"] = device_mem_gb()
+        print(json.dumps(result))
+        return
+
+    state, metrics = compiled(state, teacher, batch, rng)
+    jax.block_until_ready(metrics)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = compiled(state, teacher, batch, rng)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    peak_flops = 197e12  # v5e bf16
+    result.update({
+        "ms_per_step": round(dt * 1000, 1),
+        "img_per_sec_per_chip": round(args.mb * args.rounds / dt, 3),
+        "mfu": round(flops / dt / peak_flops, 4) if flops else None,
+        "step_tflop": round(flops / 1e12, 2) if flops else None,
+        "mem": device_mem_gb(),
+        "metrics_finite": bool(all(
+            jnp.all(jnp.isfinite(jnp.asarray(v))) for v in metrics.values()
+        )),
+    })
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,5 @@
 from .state import SiDState, make_optimizer, nan_to_num_grads, init_state
-from .distill import DistillConfig, make_train_step, ema_beta
+from .distill import DistillConfig, jit_train_step, make_train_step, ema_beta
 
 __all__ = [
     "SiDState",
@@ -7,6 +7,7 @@ __all__ = [
     "nan_to_num_grads",
     "init_state",
     "DistillConfig",
+    "jit_train_step",
     "make_train_step",
     "ema_beta",
 ]

@@ -40,17 +40,80 @@ def nan_to_num_grads(limit: float = 1e5) -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
 
 
+def scale_by_adam_low_mem(
+    b1: float = 0.0,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    state_dtype=jnp.bfloat16,
+) -> optax.GradientTransformation:
+    """Adam with low-memory moment storage for HBM-bound single-chip runs.
+
+    Two savings over ``optax.scale_by_adam``:
+    - with ``b1 == 0`` (the SiD config, sid_train.py:220-226) the first moment
+      IS the gradient, so no ``mu`` buffer is stored at all (exact, not an
+      approximation) — one full param-set of HBM back;
+    - the second moment is stored in ``state_dtype`` (bf16 keeps f32's
+      exponent range; the ~0.4%% mantissa error enters through a sqrt, so the
+      update perturbation is ~0.2%%).  All arithmetic runs in f32.
+    """
+    drop_mu = b1 == 0.0
+
+    def init(params):
+        zeros = lambda p: jnp.zeros(p.shape, state_dtype)
+        mu = None if drop_mu else jax.tree_util.tree_map(zeros, params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=mu,
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        f32 = lambda x: x.astype(jnp.float32)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * f32(v) + (1.0 - b2) * jnp.square(f32(g)), state.nu, updates
+        )
+        if drop_mu:
+            mu_hat = jax.tree_util.tree_map(f32, updates)
+            mu_store = None
+        else:
+            mu = jax.tree_util.tree_map(
+                lambda m, g: b1 * f32(m) + (1.0 - b1) * f32(g), state.mu, updates
+            )
+            bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+            mu_hat = jax.tree_util.tree_map(lambda m: m / bc1, mu)
+            mu_store = jax.tree_util.tree_map(lambda m: m.astype(state_dtype), mu)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: m / (jnp.sqrt(v / bc2) + eps), mu_hat, nu
+        )
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=mu_store,
+            nu=jax.tree_util.tree_map(lambda v: v.astype(state_dtype), nu),
+        )
+        return out, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr: float = 1e-6,
     b1: float = 0.0,
     b2: float = 0.999,
     eps: float = 1e-8,
     grad_clip_value: Optional[float] = None,
+    low_mem_state: bool = False,
 ) -> optax.GradientTransformation:
     stages = [nan_to_num_grads()]
     if grad_clip_value is not None:
         stages.append(optax.clip(grad_clip_value))
-    stages.append(optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=eps))
+    if low_mem_state:
+        stages.append(scale_by_adam_low_mem(b1=b1, b2=b2, eps=eps))
+        stages.append(optax.scale(-lr))
+    else:
+        stages.append(optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=eps))
     return optax.chain(*stages)
 
 

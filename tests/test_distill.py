@@ -144,3 +144,46 @@ def test_train_step_multistep_generator():
     _, m = jax.jit(step)(state, params0, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["fake_score_loss"]))
     assert np.isfinite(float(m["g_loss"]))
+
+
+def test_low_mem_adam_matches_optax():
+    """low_mem_state Adam == optax.adam when the state dtype is f32 (b1=0
+    drops mu exactly); bf16 state stays within its quantisation error."""
+    import optax
+
+    from sid_lsg_tpu.training.state import make_optimizer, scale_by_adam_low_mem
+
+    params = {"w": jnp.array([0.5, -1.2, 3.0]), "b": jnp.array([[0.1, 0.2]])}
+    grads_seq = [
+        {"w": jnp.array([0.1, -0.3, 0.02]), "b": jnp.array([[0.5, -0.1]])},
+        {"w": jnp.array([-0.2, 0.1, 1.0]), "b": jnp.array([[0.0, 0.3]])},
+        {"w": jnp.array([0.05, 0.0, -0.5]), "b": jnp.array([[1.0, 1.0]])},
+    ]
+    ref_opt = optax.adam(1e-2, b1=0.0, b2=0.999, eps=1e-8)
+    lm_opt = optax.chain(
+        scale_by_adam_low_mem(b1=0.0, b2=0.999, eps=1e-8, state_dtype=jnp.float32),
+        optax.scale(-1e-2),
+    )
+    s_ref, s_lm = ref_opt.init(params), lm_opt.init(params)
+    p_ref, p_lm = params, params
+    for g in grads_seq:
+        u_ref, s_ref = ref_opt.update(g, s_ref, p_ref)
+        u_lm, s_lm = lm_opt.update(g, s_lm, p_lm)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_lm = optax.apply_updates(p_lm, u_lm)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p_lm[k]), np.asarray(p_ref[k]),
+                                   atol=1e-7, rtol=1e-6)
+    # mu is genuinely absent with b1=0.
+    assert s_lm[0].mu is None
+
+    # bf16 state: close but quantised; full make_optimizer path runs.
+    opt = make_optimizer(lr=1e-2, low_mem_state=True)
+    s = opt.init(params)
+    u, s = opt.update(grads_seq[0], s, params)
+    p = optax.apply_updates(params, u)
+    u1, _ = ref_opt.update(grads_seq[0], ref_opt.init(params), params)
+    want = optax.apply_updates(params, u1)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p[k]), np.asarray(want[k]),
+                                   atol=5e-3, rtol=5e-3)
