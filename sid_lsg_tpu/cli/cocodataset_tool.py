@@ -34,6 +34,7 @@ def convert_coco(
     dest: str,
     resolution: int = 256,
     max_images: Optional[int] = None,
+    captions_out: Optional[str] = None,
 ) -> int:
     from PIL import Image
 
@@ -47,6 +48,7 @@ def convert_coco(
         caption_by_id.setdefault(a["image_id"], a["caption"].strip())
     os.makedirs(dest, exist_ok=True)
     count = 0
+    captions = []
     for image_id in sorted(caption_by_id):
         if max_images is not None and count >= max_images:
             break
@@ -59,7 +61,14 @@ def convert_coco(
         img.save(base + ".png")
         with open(base + ".txt", "w", encoding="utf-8") as f:
             f.write(caption_by_id[image_id])
+        captions.append(caption_by_id[image_id].replace("\n", " "))
         count += 1
+    if captions_out:
+        # The eval caption corpus (reference prompts/captions.txt, consumed by
+        # generate_onestep.py:120): line i is the prompt for seed i, ordered
+        # like the eval images above so FID reals and fakes align.
+        with open(captions_out, "w", encoding="utf-8") as f:
+            f.write("\n".join(captions) + "\n")
     return count
 
 
@@ -69,9 +78,12 @@ def convert_coco(
 @click.option("--dest", help="Output folder (img+txt pairs)", type=str, required=True)
 @click.option("--resolution", type=int, default=256, show_default=True)
 @click.option("--max-images", "max_images", type=int, default=None)
+@click.option("--captions-out", "captions_out", type=str, default=None,
+              help="Also write the caption corpus (one prompt per line, the "
+              "reference prompts/captions.txt role) to this path")
 def main(source: str, annotations: str, dest: str, resolution: int,
-         max_images: Optional[int]) -> None:
-    n = convert_coco(source, annotations, dest, resolution, max_images)
+         max_images: Optional[int], captions_out: Optional[str]) -> None:
+    n = convert_coco(source, annotations, dest, resolution, max_images, captions_out)
     print(f"wrote {n} image+caption pairs to {dest}")
 
 

@@ -40,8 +40,14 @@ def test_cocodataset_tool(tmp_path):
     with open(ann_path, "w") as f:
         json.dump(ann, f)
     dest = str(tmp_path / "coco256")
-    n = convert_coco(src, ann_path, dest, resolution=32, max_images=4)
+    cap_path = str(tmp_path / "captions.txt")
+    n = convert_coco(src, ann_path, dest, resolution=32, max_images=4,
+                     captions_out=cap_path)
     assert n == 4
+    # Caption corpus export (the reference prompts/captions.txt role): line i
+    # is the prompt for eval image/seed i.
+    with open(cap_path) as f:
+        assert f.read().splitlines() == [f"caption {i}" for i in range(4)]
     from sid_lsg_tpu.data import CocoCaptionDataset
 
     ds = CocoCaptionDataset(dest)
