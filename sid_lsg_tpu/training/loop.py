@@ -292,6 +292,15 @@ class Trainer:
         save_image_grid(np.asarray(imgs), path)
         return path
 
+    @staticmethod
+    def _flush_metrics(pending: list) -> None:
+        """Drain queued per-step metric futures into training_stats (one host
+        sync per tick/flush instead of per step)."""
+        for m in pending:
+            training_stats.report("fake_score_Loss/loss", float(m["fake_score_loss"]))
+            training_stats.report("G_Loss/loss", float(m["g_loss"]))
+        pending.clear()
+
     # ---------------------------------------------------------------- loop
     def run(self) -> SiDState:
         cfg = self.cfg
@@ -310,6 +319,7 @@ class Trainer:
                        f"{self.a_rounds} accumulation rounds)...")
         step_idx = 0
         profiling = False
+        pending_metrics: list = []
         while True:
             if cfg.profile_dir and step_idx == cfg.profile_start_step:
                 from ..utils.misc import start_profiler_trace
@@ -327,8 +337,12 @@ class Trainer:
                 runtime.print0(f"profiler trace written to {cfg.profile_dir}")
             step_idx += 1
             cur_nimg += cfg.batch_size
-            training_stats.report("fake_score_Loss/loss", float(metrics["fake_score_loss"]))
-            training_stats.report("G_Loss/loss", float(metrics["g_loss"]))
+            # No per-step host sync: keep the metric scalars as device futures
+            # so the NEXT batch's host-side prompt encoding overlaps the
+            # device step (round-1 weak spot: float() here serialized them).
+            pending_metrics.append(metrics)
+            if len(pending_metrics) >= 256:
+                self._flush_metrics(pending_metrics)
 
             done = cur_nimg >= cfg.total_kimg * 1000
             if cfg.max_ticks is not None and cur_tick >= cfg.max_ticks:
@@ -339,6 +353,7 @@ class Trainer:
                 continue
 
             # ---- tick ----
+            self._flush_metrics(pending_metrics)
             tick_end_time = time.time()
             collector.update()
             fields = EasyDict()
