@@ -1,26 +1,41 @@
-"""Headline bench: one-step 512x512 text-to-image throughput per chip.
+"""Headline bench: one JSON line per metric, run on one real TPU chip.
 
-Measures the production inference path of the distilled generator — one UNet
-denoising forward (eps -> x0, the `sid_sampler` eval branch,
-reference sid_sd_util.py:187-196) plus the full VAE decode to pixels — in
-bf16 under jit on whatever accelerator is visible (the driver runs this on
-one real TPU chip).
+Line 1 — one-step 512x512 text-to-image throughput (UNet eps->x0 + full VAE
+decode to uint8, bf16, batch 8): the production inference path of the
+distilled generator (reference sid_sd_util.py:187-209).
+
+Line 2 — full-width SD1.5 distillation train step (the reference hot loop,
+sid_training_loop.py:383-549: 8 UNet forwards, backprop through 5, CFG
+batch-doubling at kappa=1.5) at the largest single-chip configuration
+measured in BENCH_NOTES.md: 859M-param UNet, LoRA-psi, low-memory Adam
+(no-mu/bf16-nu), remat, bf16 compute.  Reports img/s/chip and MFU from XLA
+cost analysis over the v5e bf16 peak.
 
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
-is computed against a documented estimate of the reference pipeline on one
-A100-80GB (torch fp16 + xformers, batch 16: ~12 img/s for UNet fwd + VAE
-decode at 512px).  Prints ONE JSON line.
+uses documented estimates of the reference pipeline on one A100-80GB:
+- inference: ~12 img/s (torch fp16 + xformers, batch 16, 512px);
+- training: ~0.55 img/s in the PAPER config that produced the published FIDs
+  (fp32, TF32 disabled, xformers disabled — sid_training_loop.py:240-243,
+  run_sid.sh:38-42; ~12.2 TFLOP/img over ~35% of A100's 19.5 fp32 TFLOP/s).
+  An fp16+xformers reference would reach ~5.5 img/s; reported as
+  ``vs_fp16_estimate`` for honesty.
 """
 
+import dataclasses
 import json
 import time
 
 import jax
 import jax.numpy as jnp
 
-BASELINE_A100_IMG_PER_SEC = 12.0  # documented estimate, see module docstring
+BASELINE_A100_IMG_PER_SEC = 12.0  # inference, documented estimate (docstring)
+BASELINE_TRAIN_PAPER_CFG = 0.55  # img/s, fp32 paper config estimate
+BASELINE_TRAIN_FP16 = 5.5  # img/s, fp16+xformers estimate
+V5E_BF16_PEAK_FLOPS = 197e12
 BATCH = 8
 ITERS = 10
+TRAIN_MB = 2
+TRAIN_ITERS = 3
 
 
 def _zeros_params(module, *args):
@@ -28,10 +43,7 @@ def _zeros_params(module, *args):
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)["params"]
 
 
-def main():
-    from sid_lsg_tpu.runtime.compile_cache import enable as enable_compile_cache
-
-    enable_compile_cache()
+def bench_onestep():
     from sid_lsg_tpu import models
     from sid_lsg_tpu.diffusion import DDPMScheduler
 
@@ -71,7 +83,75 @@ def main():
         "value": round(img_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / BASELINE_A100_IMG_PER_SEC, 3),
-    }))
+    }), flush=True)
+
+
+def bench_distill():
+    from sid_lsg_tpu import models
+    from sid_lsg_tpu.diffusion import DDPMScheduler
+    from sid_lsg_tpu.training import (
+        DistillConfig, init_state, jit_train_step, make_optimizer, make_train_step,
+    )
+    from sid_lsg_tpu.training.lora import apply_lora, init_lora
+
+    ucfg = models.SD15.unet
+    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=True)
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+
+    L, D = 77, ucfg.cross_attention_dim
+    lat = jnp.zeros((1, ucfg.sample_size, ucfg.sample_size, 4))
+    params = _zeros_params(unet, lat, jnp.zeros((1,), jnp.int32), jnp.zeros((1, L, D)))
+    lora = init_lora(jax.random.PRNGKey(1), params, rank=4)
+    cfg = DistillConfig(
+        latent_size=ucfg.sample_size, batch_size=TRAIN_MB,
+        cfg_train_fake=1.5, cfg_eval_fake=1.5, cfg_eval_real=1.5,
+        dtype=jnp.bfloat16,
+    )
+    opt_g = make_optimizer(lr=1e-6, low_mem_state=True)
+    opt_f = make_optimizer(lr=1e-6)
+    step = make_train_step(apply, DDPMScheduler(), cfg, opt_g, opt_f,
+                           fake_transform=lambda pf, teacher: apply_lora(teacher, pf))
+    jstep = jit_train_step(step)
+
+    state = init_state(params, opt_g, opt_f, params_fake=lora)
+    batch = {
+        "emb_fake": jnp.zeros((1, TRAIN_MB, L, D)),
+        "emb_g": jnp.zeros((1, TRAIN_MB, L, D)),
+        "uncond_emb": jnp.zeros((L, D)),
+    }
+    rng = jax.random.PRNGKey(0)
+    compiled = jstep.lower(state, params, batch, rng).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    state, metrics = compiled(state, params, batch, rng)
+    jax.block_until_ready(metrics)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        state, metrics = compiled(state, params, batch, rng)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / TRAIN_ITERS
+
+    img_per_sec = TRAIN_MB / dt
+    print(json.dumps({
+        "metric": "sd15_fullwidth_distill_images_per_sec_per_chip",
+        "value": round(img_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / BASELINE_TRAIN_PAPER_CFG, 3),
+        "vs_fp16_estimate": round(img_per_sec / BASELINE_TRAIN_FP16, 3),
+        "ms_per_step": round(dt * 1000, 1),
+        "mfu": round(flops / dt / V5E_BF16_PEAK_FLOPS, 4) if flops else None,
+        "step_tflop": round(flops / 1e12, 2) if flops else None,
+    }), flush=True)
+
+
+def main():
+    from sid_lsg_tpu.runtime.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+    bench_onestep()
+    bench_distill()
 
 
 if __name__ == "__main__":

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--lora", action="store_true", help="LoRA-parameterised psi")
     ap.add_argument("--lowmem", action="store_true", help="bf16/no-mu Adam state")
     ap.add_argument("--remat", type=int, default=1)
+    ap.add_argument("--remat-policy", default="full",
+                    choices=["full", "dots", "dots_no_batch"])
     ap.add_argument("--kappa", type=float, default=1.5)
     ap.add_argument("--compile-only", action="store_true")
     args = ap.parse_args()
@@ -65,7 +67,8 @@ def main():
         base,
         block_out_channels=tuple(snap(c) for c in base.block_out_channels),
     )
-    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=bool(args.remat))
+    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=bool(args.remat),
+                                  remat_policy=args.remat_policy)
     apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
 
     L, D = 77, ucfg.cross_attention_dim
@@ -118,6 +121,7 @@ def main():
         "lora": args.lora,
         "lowmem": args.lowmem,
         "remat": bool(args.remat),
+        "remat_policy": args.remat_policy,
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }

@@ -50,6 +50,8 @@ from ..utils.util import Logger, make_run_dir
 @click.option("--num_steps", type=int, default=1, show_default=True)
 @click.option("--bf16", "use_bf16", type=bool, default=True, show_default=True)
 @click.option("--grad-ckpt", "gradient_checkpointing", type=bool, default=False, show_default=True)
+@click.option("--lowmem-opt", "low_mem_opt", type=bool, default=False, show_default=True,
+              help="Low-memory Adam state (no mu at b1=0, bf16 nu)")
 @click.option("--fake_score_use_lora", type=bool, default=False, show_default=True)
 @click.option("--lora_rank", type=int, default=4, show_default=True)
 @click.option("--fsdp", help="FSDP axis size (1 = pure data parallel)", type=int, default=1, show_default=True)
@@ -103,6 +105,7 @@ def main(**opts) -> None:
         seed=opts["seed"],
         use_bf16=opts["use_bf16"],
         gradient_checkpointing=opts["gradient_checkpointing"],
+        low_mem_opt=opts["low_mem_opt"],
         fake_score_use_lora=opts["fake_score_use_lora"],
         lora_rank=opts["lora_rank"],
         fsdp=opts["fsdp"],

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .configs import UNetConfig
@@ -37,6 +38,11 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # Rematerialisation policy when remat=True: 'full' recomputes everything
+    # (minimum memory), 'dots' saves matmul/conv outputs and recomputes only
+    # the cheap pointwise chains (less recompute FLOP where HBM headroom
+    # exists; see BENCH_NOTES.md for the measured trade).
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(
@@ -47,8 +53,16 @@ class UNet2DCondition(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.config
         n_levels = len(cfg.block_out_channels)
-        resnet = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
-        transformer = nn.remat(Transformer2D) if self.remat else Transformer2D
+        if self.remat:
+            policy = {
+                "full": None,
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }[self.remat_policy]
+            resnet = nn.remat(ResnetBlock2D, policy=policy)
+            transformer = nn.remat(Transformer2D, policy=policy)
+        else:
+            resnet, transformer = ResnetBlock2D, Transformer2D
 
         t_emb = timestep_embedding(
             timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift

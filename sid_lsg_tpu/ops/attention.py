@@ -144,12 +144,114 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_bwd_fused(q, k, v, out, lse, g, scale, block_q, block_k):
+    """Single-sweep flash backward (round-2 kernel, TODO.md item).
+
+    One kernel over (bh, k-block, q-block) recomputes s/p ONCE per block pair
+    and emits all three gradients: dk/dv accumulate in VMEM scratch across
+    q-blocks, while dq is written as per-k-block partial sums (streamed, no
+    block revisit) and reduced over the k axis by XLA outside.  Versus the
+    two-pass backward this removes the duplicate s/p/dp recomputation (7 -> 5
+    MXU matmuls per block pair) and one full sweep of q/k/v/g HBM reads, at
+    the cost of a small f32 dq-partial buffer (num_k x S x D per head pair).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+    bh = b * h
+    q_p = _pad_bh(q, sq_pad)
+    k_p = _pad_bh(k, sk_pad)
+    v_p = _pad_bh(v, sk_pad)
+    g_p = _pad_bh(g, sq_pad)
+    o_p = _pad_bh(out, sq_pad)
+    lse_p = jnp.pad(lse.reshape(bh, sq), ((0, 0), (0, sq_pad - sq)))
+    delta = jnp.sum(g_p.astype(jnp.float32) * o_p.astype(jnp.float32), axis=-1)
+    lse8 = jnp.broadcast_to(lse_p[:, None, :], (bh, 8, sq_pad))
+    delta8 = jnp.broadcast_to(delta[:, None, :], (bh, 8, sq_pad))
+    num_k = sk_pad // block_k
+    num_q = sq_pad // block_q
+
+    def kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, d_ref,
+               dq_ref, dk_ref, dv_ref, acc_k, acc_v):
+        ki = pl.program_id(1)
+        qi = pl.program_id(2)
+
+        @pl.when(qi == 0)
+        def _():
+            acc_k[:] = jnp.zeros_like(acc_k)
+            acc_v[:] = jnp.zeros_like(acc_v)
+
+        qv = q_ref[0]
+        kv = k_ref[0]
+        vv = v_ref[0]
+        gv = g_ref[0]
+        s = jax.lax.dot_general(qv, kv, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        p = jnp.where((col < sk) & (row < sq),
+                      jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
+        acc_v[:] += jax.lax.dot_general(p.astype(gv.dtype), gv, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gv, vv, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - d_ref[0, 0][:, None]) * scale  # (Bq, Bk)
+        acc_k[:] += jax.lax.dot_general(ds.astype(qv.dtype), qv, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        dq_ref[0, 0] = jax.lax.dot_general(ds.astype(kv.dtype), kv,
+                                           (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+
+        @pl.when(qi == num_q - 1)
+        def _():
+            dk_ref[0] = acc_k[:].astype(dk_ref.dtype)
+            dv_ref[0] = acc_v[:].astype(dv_ref.dtype)
+
+    dq_part, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh, num_k, num_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, ki, qi: (b_, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b_, ki, qi: (b_, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b_, ki, qi: (b_, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b_, ki, qi: (b_, 0, qi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, ki, qi: (b_, ki, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, num_k, sq_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(q_p, k_p, v_p, g_p, lse8, delta8)
+
+    dq = jnp.sum(dq_part, axis=1).astype(q.dtype)
+    unpad = lambda x, s: x.reshape(b, h, -1, d)[:, :, :s, :]
+    return unpad(dq, sq), unpad(dk, sk), unpad(dv, sk)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
     """Flash backward: recompute P blockwise from lse, accumulate dq/dk/dv.
 
     Two kernels: dq iterates k-blocks per q-block; dk/dv iterate q-blocks per
     k-block.  O(S) memory — never materialises the S x S matrix (the torch
-    reference without xformers does, sid_sd_util.py:102-113).
+    reference without xformers does, sid_sd_util.py:102-113).  Kept as the
+    fallback/verification twin of ``_flash_bwd_fused``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -316,10 +418,18 @@ def _attention_pallas(q, k, v, scale, causal, block_q=None, block_k=None):
 
     def _bwd(res, g):
         q, k, v, out, lse = res
-        return _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k)
+        bwd = _flash_bwd if _BWD_MODE() == "twopass" else _flash_bwd_fused
+        return bwd(q, k, v, out, lse, g, scale, block_q, block_k)
 
     _op.defvjp(_fwd, _bwd)
     return _op(q, k, v)
+
+
+def _BWD_MODE() -> str:
+    """'fused' (default, single-sweep) or 'twopass' via SIDLSG_FLASH_BWD."""
+    import os
+
+    return os.environ.get("SIDLSG_FLASH_BWD", "fused")
 
 
 register_op("attention", "pallas", _attention_pallas)

@@ -19,6 +19,7 @@ checkpoints (HF ``UT-Austin-PML/SiD-LSG``).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 import types
@@ -35,14 +36,33 @@ from ..models.convert import convert_unet
 # Torch-pickle interop (no diffusers required)
 
 
-def _install_stub_modules() -> None:
-    """Install importable stubs for the classes reference pickles refer to.
+_STUB_MODULE_NAMES = [
+    "diffusers",
+    "diffusers.models",
+    "diffusers.models.unets",
+    "diffusers.models.unets.unet_2d_condition",
+    "diffusers.models.unet_2d_condition",
+    "dnnlib",
+    "dnnlib.util",
+    "torch_utils",
+    "torch_utils.persistence",
+]
+
+
+@contextlib.contextmanager
+def _stub_modules():
+    """Temporarily install importable stubs for the classes reference pickles
+    refer to.
 
     torch pickles store ``(module, qualname)`` references; unpickling only
     needs *a* class with that name — object state arrives via ``__dict__``
     update, no ``__init__`` call.  torch.nn.Module subclasses keep all tensors
     under ``_parameters``/``_buffers``/``_modules``, which
     ``torch_pickle_state_dict`` walks generically.
+
+    Scoped: sys.modules is restored afterwards, so the stubs can never shadow
+    a later real import of e.g. the reference's own ``torch_utils`` package
+    (which the torch-parity tests import from a checkout).
     """
 
     class _Stub:
@@ -53,21 +73,20 @@ def _install_stub_modules() -> None:
             if isinstance(state, dict):
                 self.__dict__.update(state)
 
-    for mod_name in [
-        "diffusers",
-        "diffusers.models",
-        "diffusers.models.unets",
-        "diffusers.models.unets.unet_2d_condition",
-        "diffusers.models.unet_2d_condition",
-        "dnnlib",
-        "dnnlib.util",
-        "torch_utils",
-        "torch_utils.persistence",
-    ]:
-        if mod_name not in sys.modules:
+    saved = {n: sys.modules.get(n) for n in _STUB_MODULE_NAMES}
+    for mod_name in _STUB_MODULE_NAMES:
+        if sys.modules.get(mod_name) is None:
             m = types.ModuleType(mod_name)
             m.__getattr__ = lambda name, _m=mod_name: _Stub if name[:1].isupper() else types.ModuleType(f"{_m}.{name}")  # type: ignore[assignment]
             sys.modules[mod_name] = m
+    try:
+        yield
+    finally:
+        for mod_name, prev in saved.items():
+            if prev is None:
+                sys.modules.pop(mod_name, None)
+            else:
+                sys.modules[mod_name] = prev
 
 
 def _walk_module_tree(obj: Any, prefix: str, out: Dict[str, np.ndarray]) -> None:
@@ -94,8 +113,8 @@ def torch_pickle_state_dict(path: str) -> Dict[str, np.ndarray]:
     """
     import torch
 
-    _install_stub_modules()
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    with _stub_modules():
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         for key in ("ema", "G_ema", "G", "model", "state_dict"):
             if key in obj:

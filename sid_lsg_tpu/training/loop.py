@@ -80,6 +80,9 @@ class TrainConfig:
     # Precision / memory.
     use_bf16: bool = True
     gradient_checkpointing: bool = False
+    # Low-memory Adam state for theta (no first moment at b1=0, bf16 second
+    # moment) — the single-chip full-width escape hatch (BENCH_NOTES.md).
+    low_mem_opt: bool = False
     # LoRA fake score (reference --fake_score_use_lora, sid_train.py:157).
     fake_score_use_lora: bool = False
     lora_rank: int = 4
@@ -156,8 +159,12 @@ class Trainer:
 
             unet = UNet2DCondition(sd_cfg.unet, dtype=dtype, remat=True)
         unet_apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
-        self.opt_g = make_optimizer(lr=cfg.glr, eps=cfg.adam_eps)
-        self.opt_fake = make_optimizer(lr=cfg.lr, eps=cfg.adam_eps)
+        self.opt_g = make_optimizer(lr=cfg.glr, eps=cfg.adam_eps,
+                                    low_mem_state=cfg.low_mem_opt)
+        self.opt_fake = make_optimizer(
+            lr=cfg.lr, eps=cfg.adam_eps,
+            low_mem_state=cfg.low_mem_opt and not cfg.fake_score_use_lora,
+        )
         fake_transform = None
         params_fake_init = None
         if cfg.fake_score_use_lora:

@@ -95,3 +95,26 @@ def test_groupnorm_tiled_pallas_parity():
     with interp():
         out2 = ops.group_norm(x2, gamma, beta, num_groups=8, impl="pallas")
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["fused", "twopass"])
+def test_flash_attention_backward_modes_parity(mode, monkeypatch):
+    """Both backward kernels (single-sweep fused and the two-pass twin) match
+    the XLA reference gradients, including kv/q padding tails."""
+    monkeypatch.setenv("SIDLSG_FLASH_BWD", mode)
+    q = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 200, 40))
+    k = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 150, 40))
+    v = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 150, 40))
+
+    def loss(impl, q, k, v):
+        out = ops.attention(q, k, v, impl=impl)
+        return jnp.sum(jnp.sin(out))
+
+    g_ref = jax.grad(functools.partial(loss, "ref"), argnums=(0, 1, 2))(q, k, v)
+    with interp():
+        g_pal = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_pal, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3,
+            err_msg=f"d{name} mismatch ({mode})",
+        )
