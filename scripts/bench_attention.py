@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-ref-bwd", action="store_true",
                     help="ref bwd materialises S x S; may OOM at big S")
+    ap.add_argument("--sweep", default=None,
+                    help="semicolon list of q,k block pairs to time for the "
+                    "fused fwd+bwd, e.g. '512,1024;512,512;256,1024'")
     args = ap.parse_args()
 
     from sid_lsg_tpu import ops
@@ -92,6 +95,18 @@ def main():
         os.environ["SIDLSG_FLASH_BWD"] = mode
         result[f"fwdbwd_ms_pallas_{mode}"] = round(
             timeit(fwdbwd("pallas"), q, k, v, iters=args.iters), 3)
+    if args.sweep:
+        os.environ["SIDLSG_FLASH_BWD"] = "fused"
+        sweep = {}
+        for pair in args.sweep.split(";"):
+            os.environ["SIDLSG_FLASH_BLOCKS"] = pair
+            try:
+                sweep[pair] = round(timeit(fwdbwd("pallas"), q, k, v,
+                                           iters=args.iters), 3)
+            except Exception as e:
+                sweep[pair] = f"failed: {type(e).__name__}"
+        os.environ.pop("SIDLSG_FLASH_BLOCKS", None)
+        result["sweep_fwdbwd_ms"] = sweep
     print(json.dumps(result))
 
 

@@ -387,8 +387,14 @@ def _pick_blocks(d: int):
     than (256, 256) and 3.7x faster than the XLA S x S reference.  Large d
     (e.g. the VAE's single-head d=512) must shrink blocks to fit the ~16MB
     scoped VMEM budget (q/k/v tiles + the block_q x block_k logits tile,
-    double-buffered).
+    double-buffered).  ``SIDLSG_FLASH_BLOCKS=q,k`` overrides (tuning sweeps).
     """
+    import os
+
+    override = os.environ.get("SIDLSG_FLASH_BLOCKS")
+    if override:
+        bq, bk = (int(x) for x in override.split(","))
+        return bq, bk
     if d <= 128:
         return 512, 1024
     if d <= 256:
