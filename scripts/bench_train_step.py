@@ -47,8 +47,14 @@ def main():
     ap.add_argument("--lowmem", action="store_true", help="bf16/no-mu Adam state")
     ap.add_argument("--remat", type=int, default=1)
     ap.add_argument("--remat-policy", default="full",
-                    choices=["full", "dots", "dots_no_batch"])
+                    choices=["full", "dots", "dots_no_batch", "attn", "attn_offload"])
     ap.add_argument("--kappa", type=float, default=1.5)
+    ap.add_argument("--adv", type=float, default=0.0,
+                    help="SiDA adversarial weight (D and G); 0 = plain SiD")
+    ap.add_argument("--teacher-bf16", action="store_true",
+                    help="store the frozen teacher in bf16 (compute already "
+                         "casts params to bf16, so this only moves the one-time "
+                         "rounding; frees ~1.7 GB at SD1.5 width)")
     ap.add_argument("--compile-only", action="store_true")
     args = ap.parse_args()
 
@@ -89,20 +95,38 @@ def main():
         cfg_eval_fake=args.kappa,
         cfg_eval_real=args.kappa,
         dtype=jnp.bfloat16,
+        adv_weight_D=args.adv,
+        adv_weight_G=args.adv,
     )
     opt_g = make_optimizer(lr=1e-6, low_mem_state=args.lowmem)
     opt_f = make_optimizer(lr=1e-6, low_mem_state=args.lowmem and not args.lora)
+    unet_encode = (
+        (lambda p, x, t, c: unet.apply({"params": p}, x, t, c, encoder_only=True))
+        if args.adv > 0 else None
+    )
     step = make_train_step(apply, DDPMScheduler(), cfg, opt_g, opt_f,
-                           fake_transform=fake_transform)
+                           fake_transform=fake_transform,
+                           unet_encode=unet_encode)
     jstep = jit_train_step(step)
 
     state = init_state(params, opt_g, opt_f, params_fake=params_fake)
     teacher = params
+    if args.teacher_bf16:
+        teacher = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+        # Free the f32 tree: keeping both copies alive costs a full param set
+        # of HBM (3.4 GB at SD1.5 width) and defeats the point of the cast.
+        for leaf in jax.tree_util.tree_leaves(params):
+            leaf.delete()
+        del params
     batch = {
         "emb_fake": jnp.zeros((args.rounds, args.mb, L, D)),
         "emb_g": jnp.zeros((args.rounds, args.mb, L, D)),
         "uncond_emb": jnp.zeros((L, D)),
     }
+    if args.adv > 0:
+        s = ucfg.sample_size
+        batch["lat_real"] = jnp.zeros((args.rounds, args.mb, s, s, 4))
+        batch["emb_real"] = jnp.zeros((args.rounds, args.mb, L, D))
     rng = jax.random.PRNGKey(0)
 
     t_c0 = time.perf_counter()
@@ -122,6 +146,8 @@ def main():
         "lowmem": args.lowmem,
         "remat": bool(args.remat),
         "remat_policy": args.remat_policy,
+        "adv": args.adv,
+        "teacher_bf16": args.teacher_bf16,
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }

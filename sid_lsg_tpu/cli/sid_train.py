@@ -53,6 +53,11 @@ from ..utils.util import Logger, make_run_dir
 @click.option("--lowmem-opt", "low_mem_opt", type=bool, default=False, show_default=True,
               help="Low-memory Adam state (no mu at b1=0, bf16 nu)")
 @click.option("--fake_score_use_lora", type=bool, default=False, show_default=True)
+@click.option("--adv_weight_d", "adv_weight_d", help="SiDA discriminator loss weight (0 = plain SiD-LSG)", type=float, default=0.0, show_default=True)
+@click.option("--adv_weight_g", "adv_weight_g", help="SiDA generator adversarial loss weight", type=float, default=0.0, show_default=True)
+@click.option("--gan_loss", type=click.Choice(["ns", "hinge"]), default="ns", show_default=True)
+@click.option("--adv_data", help="encode_latents npz of real latents+captions (SiDA)", type=str, default=None)
+@click.option("--remat-policy", "remat_policy", type=click.Choice(["full", "dots", "dots_no_batch", "attn", "attn_offload"]), default="full", show_default=True)
 @click.option("--lora_rank", type=int, default=4, show_default=True)
 @click.option("--fsdp", help="FSDP axis size (1 = pure data parallel)", type=int, default=1, show_default=True)
 @click.option("--resolution", type=int, default=512, show_default=True)
@@ -105,6 +110,11 @@ def main(**opts) -> None:
         seed=opts["seed"],
         use_bf16=opts["use_bf16"],
         gradient_checkpointing=opts["gradient_checkpointing"],
+        remat_policy=opts["remat_policy"],
+        adv_weight_D=opts["adv_weight_d"],
+        adv_weight_G=opts["adv_weight_g"],
+        gan_loss=opts["gan_loss"],
+        adv_data=opts["adv_data"],
         low_mem_opt=opts["low_mem_opt"],
         fake_score_use_lora=opts["fake_score_use_lora"],
         lora_rank=opts["lora_rank"],

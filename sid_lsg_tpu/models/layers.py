@@ -18,6 +18,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .. import ops
 
@@ -107,6 +108,10 @@ class Attention(nn.Module):
         split = lambda t, s: t.reshape(b, s, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
         out = ops.attention(split(q, sq), split(k, sk), split(v, sk), causal=causal)
         out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+        # Named for selective rematerialisation: UNet2DCondition's
+        # remat_policy='attn' saves exactly these activations (the most
+        # expensive recompute in a transformer block) and recomputes the rest.
+        out = checkpoint_name(out, "attn_out")
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 
 

@@ -41,7 +41,11 @@ class UNet2DCondition(nn.Module):
     # Rematerialisation policy when remat=True: 'full' recomputes everything
     # (minimum memory), 'dots' saves matmul/conv outputs and recomputes only
     # the cheap pointwise chains (less recompute FLOP where HBM headroom
-    # exists; see BENCH_NOTES.md for the measured trade).
+    # exists), 'attn' saves only the attention outputs (tagged 'attn_out' in
+    # layers.Attention) — the single most expensive recompute in a
+    # transformer block, at a fraction of 'dots' memory — and 'attn_offload'
+    # parks those same activations in pinned host RAM instead of HBM.
+    # See BENCH_NOTES.md for the measured trades.
     remat_policy: str = "full"
 
     @nn.compact
@@ -50,7 +54,13 @@ class UNet2DCondition(nn.Module):
         sample: jnp.ndarray,  # (B, H, W, C_in) latents, NHWC
         timesteps: jnp.ndarray,  # (B,) int
         encoder_hidden_states: jnp.ndarray,  # (B, L, cross_dim)
+        encoder_only: bool = False,
     ) -> jnp.ndarray:
+        """With ``encoder_only=True`` (static), stop after the mid block and
+        return the bottleneck feature map (B, H/8, W/8, C_max) instead of the
+        prediction — the SiDA discriminator tower (``training/adversarial.py``)
+        reads the fake-score net this way, reusing conv_in + down path + mid
+        parameters with no up path compute and zero extra parameters."""
         cfg = self.config
         n_levels = len(cfg.block_out_channels)
         if self.remat:
@@ -58,6 +68,13 @@ class UNet2DCondition(nn.Module):
                 "full": None,
                 "dots": jax.checkpoint_policies.checkpoint_dots,
                 "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "attn": jax.checkpoint_policies.save_only_these_names("attn_out"),
+                "attn_offload": jax.checkpoint_policies.save_and_offload_only_these_names(
+                    names_which_can_be_saved=[],
+                    names_which_can_be_offloaded=["attn_out"],
+                    offload_src="device",
+                    offload_dst="pinned_host",
+                ),
             }[self.remat_policy]
             resnet = nn.remat(ResnetBlock2D, policy=policy)
             transformer = nn.remat(Transformer2D, policy=policy)
@@ -107,6 +124,8 @@ class UNet2DCondition(nn.Module):
         h = resnet(
             mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnet_1"
         )(h, temb)
+        if encoder_only:
+            return h
 
         # Up path (deepest level first), popping skips.
         for i in reversed(range(n_levels)):

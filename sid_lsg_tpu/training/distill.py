@@ -18,7 +18,13 @@ rng) -> (state, metrics)``:
 - CFG batch-doubling keeps one large UNet matmul stream (``sid_sd_util.py:
   258-265``) — resolved at trace time, so kappa==1 never pays for it,
 - data/FSDP parallelism is carried by the mesh shardings of the inputs; XLA
-  inserts all gradient collectives (no DDP object exists).
+  inserts all gradient collectives (no DDP object exists),
+- the reference's ANNOUNCED SiDA adversarial integration (README.md:12, not
+  built there) is available behind ``adv_weight_D``/``adv_weight_G``
+  (``training/adversarial.py``): psi's encoder doubles as the discriminator
+  on noised real-vs-generated latents, and theta receives a non-saturating
+  generator term — zero extra parameters, zero cost when disabled (the
+  branches are static).
 
 Per accumulation round with all kappas != 1 this traces 8 UNet forwards and
 backprops through 5 of them (sampler + fake/teacher denoise pairs) — the same
@@ -64,11 +70,22 @@ class DistillConfig:
     ema_rampup_ratio: Optional[float] = 0.05
     context_dropout: float = 0.1
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
+    # SiDA-style adversarial terms (training/adversarial.py; the reference's
+    # announced-but-unbuilt roadmap, README.md:12).  Both 0.0 = plain SiD-LSG
+    # (the published algorithm); >0 requires `unet_encode` in make_train_step
+    # and `lat_real`/`emb_real` batch entries.
+    adv_weight_D: float = 0.0
+    adv_weight_G: float = 0.0
+    gan_loss: str = "ns"  # 'ns' | 'hinge'
 
     @property
     def use_context_dropout_fake(self) -> bool:
         # Reference flag logic at sid_training_loop.py:208-212.
         return self.cfg_train_fake != 1.0 or self.cfg_eval_fake != 1.0
+
+    @property
+    def adversarial(self) -> bool:
+        return self.adv_weight_D > 0.0 or self.adv_weight_G > 0.0
 
 
 def ema_beta(cfg: DistillConfig, nimg: jnp.ndarray) -> jnp.ndarray:
@@ -96,6 +113,7 @@ def make_train_step(
     opt_g: optax.GradientTransformation,
     opt_fake: optax.GradientTransformation,
     fake_transform: Optional[Callable[[Any, Any], Any]] = None,
+    unet_encode: Optional[UNetApplyP] = None,
 ):
     """Build ``train_step(state, teacher_params, batch, rng)``.
 
@@ -104,15 +122,27 @@ def make_train_step(
     ``lora.apply_lora`` composition when psi is LoRA-parameterised
     (``state.params_fake`` then holds only the factor tree).
 
+    ``unet_encode(params, noisy_latents, t, emb)`` is the encoder-only UNet
+    apply (bottleneck features) backing the SiDA discriminator; required iff
+    ``cfg.adversarial`` (see ``training/adversarial.py``).
+
     ``batch`` (text already encoded — the text tower is frozen, so encoding
     happens once per batch outside both phases, unlike the reference which
     re-tokenises inside every denoise call):
       - ``emb_fake``: (A, mb, L, D) prompt embeddings for the psi phase
       - ``emb_g``:    (A, mb, L, D) prompt embeddings for the theta phase
       - ``uncond_emb``: (L, D) embedding of the empty prompt
+      - ``lat_real``/``emb_real``: (A, mb, h, w, c)/(A, mb, L, D) VAE latents
+        of real images and their caption embeddings (adversarial mode only)
     where A = accumulation rounds and mb = global microbatch.
     """
     fake_transform = fake_transform or (lambda pf, teacher: pf)
+    if cfg.adversarial and unet_encode is None:
+        raise ValueError(
+            "adv_weight_D/adv_weight_G > 0 requires unet_encode "
+            "(encoder-only UNet apply for the SiDA discriminator)"
+        )
+    from . import adversarial
     v_pred = scheduler.config.prediction_type == "v_prediction"
     lat_shape_of = lambda mb: (mb, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
 
@@ -139,10 +169,21 @@ def make_train_step(
             guidance_scale=scale, predict_x0=predict_x0, dtype=cfg.dtype,
         )
 
+    def _disc_logit(params_eff, latents, noise, emb, t):
+        """SiDA discriminator readout: pooled encoder features of the noised
+        latents (training/adversarial.py).  Same schedule/timestep draw as the
+        denoising losses, so D sees every noise level (Diffusion-GAN)."""
+        x_t = scheduler.add_noise(latents, noise, t)
+        x_in = scheduler.scale_model_input(x_t, t)
+        feats = unet_encode(params_eff, x_in.astype(cfg.dtype), t, emb)
+        return adversarial.pooled_logit(feats)
+
     # ---------------- psi (fake score) phase -------------------------------
-    def _psi_loss(params_fake, teacher, images, noise, emb, uncond_b, t, denom):
+    def _psi_loss(params_fake, teacher, images, noise, emb, uncond_b, t,
+                  extra, rng_adv, denom):
+        eff = fake_transform(params_fake, teacher)
         noise_fake = _denoise(
-            fake_transform(params_fake, teacher), images, noise, emb, uncond_b, t,
+            eff, images, noise, emb, uncond_b, t,
             cfg.cfg_train_fake, predict_x0=False,
         )
         valid = _per_sample_finite(noise_fake)
@@ -157,13 +198,41 @@ def make_train_step(
             snr = scheduler.snr(t)
             per = per * snr / (snr + 1.0)
         loss = jnp.sum(per) * (cfg.loss_scaling / denom)
-        return loss, (jnp.sum(valid), loss)
+        aux = {"n_valid": jnp.sum(valid), "loss": loss}
+        total = loss
+        if cfg.adv_weight_D > 0.0:
+            noise_real = jax.random.normal(rng_adv, extra["lat_real"].shape, jnp.float32)
+            logit_fake = _disc_logit(eff, images, noise, emb, t)
+            logit_real = _disc_logit(eff, extra["lat_real"], noise_real,
+                                     extra["emb_real"], t)
+            d_per = adversarial.d_loss(logit_real, logit_fake, cfg.gan_loss)
+            d_per = jnp.where(jnp.isfinite(d_per), d_per, 0.0)
+            adv = jnp.sum(d_per) * (cfg.adv_weight_D * cfg.loss_scaling / denom)
+            total = total + adv
+            aux.update(
+                adv_d_loss=adv,
+                d_logit_real=jnp.mean(logit_real),
+                d_logit_fake=jnp.mean(logit_fake),
+            )
+        return total, aux
+
+    def _psi_aux_zero():
+        aux = {"n_valid": jnp.zeros((), jnp.int32), "loss": jnp.zeros((), jnp.float32)}
+        if cfg.adv_weight_D > 0.0:
+            aux.update(
+                adv_d_loss=jnp.zeros((), jnp.float32),
+                d_logit_real=jnp.zeros((), jnp.float32),
+                d_logit_fake=jnp.zeros((), jnp.float32),
+            )
+        return aux
 
     # ---------------- theta (generator) phase ------------------------------
     def _g_loss(params_g, params_fake, teacher, z, noise, emb, uncond_b, t,
-                init_t, rng, denom):
+                init_t, rng, rng_adv, denom):
+        del rng_adv  # reserved: G adv reuses the denoise noise draw
         images = _generate(params_g, z, emb, init_t, rng)
-        y_fake = _denoise(fake_transform(params_fake, teacher), images, noise,
+        eff_fake = fake_transform(params_fake, teacher)
+        y_fake = _denoise(eff_fake, images, noise,
                           emb, uncond_b, t, cfg.cfg_eval_fake, predict_x0=True)
         y_real = _denoise(teacher, images, noise, emb, uncond_b, t,
                           cfg.cfg_eval_real, predict_x0=True)
@@ -184,36 +253,57 @@ def make_train_step(
             per = (y_real - y_fake) * ((y_real - x) - cfg.alpha * (y_real - y_fake)) / w
         per = jnp.sum(_mask_rows(per, valid), axis=(1, 2, 3))
         loss = jnp.sum(per) * (cfg.loss_scaling_G / denom)
-        return loss, (jnp.sum(valid), loss)
+        aux = {"n_valid": jnp.sum(valid), "loss": loss}
+        total = loss
+        if cfg.adv_weight_G > 0.0:
+            # Gradient reaches theta through `images`; psi's encoder is a
+            # fixed judge here (its own update happened in the psi phase).
+            logit_gen = _disc_logit(eff_fake, images, noise, emb, t)
+            g_per = adversarial.g_loss(logit_gen, cfg.gan_loss)
+            g_per = jnp.where(valid & jnp.isfinite(g_per), g_per, 0.0)
+            adv = jnp.sum(g_per) * (cfg.adv_weight_G * cfg.loss_scaling_G / denom)
+            total = total + adv
+            aux["adv_g_loss"] = adv
+        return total, aux
+
+    def _g_aux_zero():
+        aux = {"n_valid": jnp.zeros((), jnp.int32), "loss": jnp.zeros((), jnp.float32)}
+        if cfg.adv_weight_G > 0.0:
+            aux["adv_g_loss"] = jnp.zeros((), jnp.float32)
+        return aux
 
     def _dropout_context(rng, emb, uncond_b):
         keep = jax.random.uniform(rng, (emb.shape[0],)) >= cfg.context_dropout
         return jnp.where(keep[:, None, None], emb, uncond_b)
 
-    def _accumulate(grad_fn, params, embs, uncond_b, rng, use_dropout):
-        """lax.scan over accumulation rounds, summing normalised grads."""
+    def _accumulate(grad_fn, params, embs, extras, aux_zero, uncond_b, rng,
+                    use_dropout):
+        """lax.scan over accumulation rounds, summing normalised grads and the
+        aux metric dict.  ``extras`` is a pytree of per-round arrays (leading
+        dim A) scanned alongside the embeddings; empty dict when unused."""
         a_rounds = embs.shape[0]
         zero_grads = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), params
         )
 
         def body(carry, inp):
-            grads_acc, loss_acc, n_acc = carry
-            emb, idx = inp
+            grads_acc, aux_acc = carry
+            emb, extra, idx = inp
             r = jax.random.fold_in(rng, idx)
             r_drop, r_draw, r_multi = jax.random.split(r, 3)
             if use_dropout:
                 emb = _dropout_context(r_drop, emb, uncond_b)
-            grads, (n_valid, loss) = grad_fn(params, emb, r_draw, r_multi)
+            grads, aux = grad_fn(params, emb, extra, r_draw, r_multi)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return (grads_acc, loss_acc + loss, n_acc + n_valid), None
+            aux_acc = jax.tree_util.tree_map(jnp.add, aux_acc, aux)
+            return (grads_acc, aux_acc), None
 
-        (grads, loss_sum, n_valid), _ = jax.lax.scan(
+        (grads, aux), _ = jax.lax.scan(
             body,
-            (zero_grads, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
-            (embs, jnp.arange(a_rounds)),
+            (zero_grads, aux_zero),
+            (embs, extras, jnp.arange(a_rounds)),
         )
-        return grads, loss_sum, n_valid
+        return grads, aux
 
     def train_step(
         state: SiDState,
@@ -228,34 +318,43 @@ def make_train_step(
         denom = float(a_rounds * mb)  # global-batch normalisation (see module doc)
         uncond_b = jnp.broadcast_to(uncond, (mb,) + uncond.shape[-2:])
         rng_fake, rng_g = jax.random.split(jax.random.fold_in(rng, state.step))
+        extras_fake = (
+            {"lat_real": batch["lat_real"], "emb_real": batch["emb_real"]}
+            if cfg.adv_weight_D > 0.0 else {}
+        )
 
         # --- psi update (generator frozen: params_G enters via stop_gradient).
-        def psi_grad(params_fake, emb, r_draw, r_multi):
+        def psi_grad(params_fake, emb, extra, r_draw, r_multi):
             z, noise, t, init_t = _draw(r_draw, mb)
             images = jax.lax.stop_gradient(
                 _generate(state.params_G, z, emb, init_t, r_multi)
             )
+            r_adv = jax.random.fold_in(r_draw, 1)
             return jax.grad(_psi_loss, has_aux=True)(
-                params_fake, teacher_params, images, noise, emb, uncond_b, t, denom
+                params_fake, teacher_params, images, noise, emb, uncond_b, t,
+                extra, r_adv, denom,
             )
 
-        grads_f, loss_f, n_f = _accumulate(
-            psi_grad, state.params_fake, emb_fake, uncond_b, rng_fake,
-            cfg.use_context_dropout_fake,
+        grads_f, aux_f = _accumulate(
+            psi_grad, state.params_fake, emb_fake, extras_fake, _psi_aux_zero(),
+            uncond_b, rng_fake, cfg.use_context_dropout_fake,
         )
         upd_f, opt_fake_state = opt_fake.update(grads_f, state.opt_fake, state.params_fake)
         params_fake = optax.apply_updates(state.params_fake, upd_f)
 
         # --- theta update (uses the freshly updated psi, like the reference).
-        def g_grad(params_g, emb, r_draw, r_multi):
+        def g_grad(params_g, emb, extra, r_draw, r_multi):
+            del extra
             z, noise, t, init_t = _draw(r_draw, mb)
+            r_adv = jax.random.fold_in(r_draw, 1)
             return jax.grad(_g_loss, has_aux=True)(
                 params_g, params_fake, teacher_params, z, noise, emb,
-                uncond_b, t, init_t, r_multi, denom,
+                uncond_b, t, init_t, r_multi, r_adv, denom,
             )
 
-        grads_g, loss_g, n_g = _accumulate(
-            g_grad, state.params_G, emb_g, uncond_b, rng_g, use_dropout=False,
+        grads_g, aux_g = _accumulate(
+            g_grad, state.params_G, emb_g, {}, _g_aux_zero(),
+            uncond_b, rng_g, use_dropout=False,
         )
         upd_g, opt_g_state = opt_g.update(grads_g, state.opt_G, state.params_G)
         params_g_new = optax.apply_updates(state.params_G, upd_g)
@@ -276,12 +375,18 @@ def make_train_step(
             opt_fake=opt_fake_state,
         )
         metrics = {
-            "fake_score_loss": loss_f / a_rounds,
-            "g_loss": loss_g / a_rounds,
-            "fake_valid": n_f,
-            "g_valid": n_g,
+            "fake_score_loss": aux_f["loss"] / a_rounds,
+            "g_loss": aux_g["loss"] / a_rounds,
+            "fake_valid": aux_f["n_valid"],
+            "g_valid": aux_g["n_valid"],
             "ema_beta": beta,
         }
+        if cfg.adv_weight_D > 0.0:
+            metrics["adv_d_loss"] = aux_f["adv_d_loss"] / a_rounds
+            metrics["d_logit_real"] = aux_f["d_logit_real"] / a_rounds
+            metrics["d_logit_fake"] = aux_f["d_logit_fake"] / a_rounds
+        if cfg.adv_weight_G > 0.0:
+            metrics["adv_g_loss"] = aux_g["adv_g_loss"] / a_rounds
         return new_state, metrics
 
     return train_step

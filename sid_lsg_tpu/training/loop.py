@@ -77,9 +77,19 @@ class TrainConfig:
     state_dump_ticks: int = 500
     sample_ticks: int = 50
     seed: int = 0
+    # SiDA-style adversarial terms (the reference's announced roadmap,
+    # README.md:12; see training/adversarial.py).  ``adv_data`` is an
+    # encode_latents npz of real latents+captions; when unset but weights are
+    # >0, a synthetic random-latent stream keeps smoke tests/offline runs
+    # working (useless for quality — a warning is printed).
+    adv_weight_D: float = 0.0
+    adv_weight_G: float = 0.0
+    gan_loss: str = "ns"
+    adv_data: Optional[str] = None
     # Precision / memory.
     use_bf16: bool = True
     gradient_checkpointing: bool = False
+    remat_policy: str = "full"  # models/unet.py remat_policy (full/dots/attn/...)
     # Low-memory Adam state for theta (no first moment at b1=0, bf16 second
     # moment) — the single-chip full-width escape hatch (BENCH_NOTES.md).
     low_mem_opt: bool = False
@@ -152,13 +162,21 @@ class Trainer:
             ema_halflife_kimg=cfg.ema_halflife_kimg,
             ema_rampup_ratio=cfg.ema_rampup_ratio,
             dtype=dtype,
+            adv_weight_D=cfg.adv_weight_D,
+            adv_weight_G=cfg.adv_weight_G,
+            gan_loss=cfg.gan_loss,
         )
         unet = self.pipe.unet
         if cfg.gradient_checkpointing:
             from ..models.unet import UNet2DCondition
 
-            unet = UNet2DCondition(sd_cfg.unet, dtype=dtype, remat=True)
+            unet = UNet2DCondition(sd_cfg.unet, dtype=dtype, remat=True,
+                                   remat_policy=cfg.remat_policy)
         unet_apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+        unet_encode = (
+            (lambda p, x, t, c: unet.apply({"params": p}, x, t, c, encoder_only=True))
+            if self.dcfg.adversarial else None
+        )
         self.opt_g = make_optimizer(lr=cfg.glr, eps=cfg.adam_eps,
                                     low_mem_state=cfg.low_mem_opt)
         self.opt_fake = make_optimizer(
@@ -177,7 +195,8 @@ class Trainer:
             fake_transform = lambda pf, teacher: apply_lora(teacher, pf)
         step_fn = make_train_step(unet_apply, self.pipe.scheduler, self.dcfg,
                                   self.opt_g, self.opt_fake,
-                                  fake_transform=fake_transform)
+                                  fake_transform=fake_transform,
+                                  unet_encode=unet_encode)
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
 
         # Teacher stays a separate frozen pytree; state holds the 3 trainables.
@@ -197,6 +216,31 @@ class Trainer:
             process_index=runtime.get_process_index(),
             process_count=runtime.get_process_count(),
         )
+
+        # Real-latent stream for the SiDA discriminator (adversarial mode).
+        self.latents = None
+        if self.dcfg.adversarial:
+            if cfg.adv_data:
+                from ..data.latents import InfiniteLatentIterator, LatentDataset
+
+                lat_ds = LatentDataset(cfg.adv_data)
+                h = lat_ds.latents.shape[1]
+                if h != self.dcfg.latent_size:
+                    raise ValueError(
+                        f"{cfg.adv_data}: latent resolution {h} != model "
+                        f"latent size {self.dcfg.latent_size}"
+                    )
+                self.latents = InfiniteLatentIterator(
+                    lat_ds, cfg.microbatch, seed=cfg.seed + 2,
+                    process_index=runtime.get_process_index(),
+                    process_count=runtime.get_process_count(),
+                )
+            else:
+                runtime.print0(
+                    "WARNING: adversarial training without --adv_data uses "
+                    "SYNTHETIC random latents — smoke/testing only."
+                )
+                self._adv_rng = np.random.RandomState(cfg.seed + 2)
         self.ckpt_mgr = None
 
     def _shard_state(self, state: SiDState) -> SiDState:
@@ -221,12 +265,32 @@ class Trainer:
         emb = self.pipe.encode_prompts(prompts)
         return emb.reshape(self.a_rounds, self.cfg.microbatch, *emb.shape[1:])
 
+    def _adv_rounds(self):
+        """(A, mb, h, w, c) real latents + (A, mb, L, D) caption embeddings."""
+        mb, A = self.cfg.microbatch, self.a_rounds
+        if self.latents is not None:
+            lats, caps = [], []
+            for _ in range(A):
+                lat, cap = next(self.latents)
+                lats.append(lat)
+                caps.extend(cap)
+            lat = np.stack(lats)
+        else:  # synthetic smoke stream (warned at init)
+            s, c = self.dcfg.latent_size, self.dcfg.latent_channels
+            lat = self._adv_rng.randn(A, mb, s, s, c).astype(np.float32)
+            caps = [p for _ in range(A) for p in next(self.prompts)]
+        emb = self.pipe.encode_prompts(caps)
+        return jnp.asarray(lat), emb.reshape(A, mb, *emb.shape[1:])
+
     def next_batch(self) -> Dict[str, jnp.ndarray]:
-        return {
+        batch = {
             "emb_fake": self._encode_rounds(),
             "emb_g": self._encode_rounds(),
             "uncond_emb": self.pipe.uncond_embedding(),
         }
+        if self.dcfg.adv_weight_D > 0.0:
+            batch["lat_real"], batch["emb_real"] = self._adv_rounds()
+        return batch
 
     def save_snapshot(self, kimg: int) -> str:
         from ..runtime.checkpoint import export_generator
@@ -306,6 +370,12 @@ class Trainer:
         for m in pending:
             training_stats.report("fake_score_Loss/loss", float(m["fake_score_loss"]))
             training_stats.report("G_Loss/loss", float(m["g_loss"]))
+            if "adv_d_loss" in m:
+                training_stats.report("Adv/d_loss", float(m["adv_d_loss"]))
+                training_stats.report("Adv/d_logit_real", float(m["d_logit_real"]))
+                training_stats.report("Adv/d_logit_fake", float(m["d_logit_fake"]))
+            if "adv_g_loss" in m:
+                training_stats.report("Adv/g_loss", float(m["adv_g_loss"]))
         pending.clear()
 
     # ---------------------------------------------------------------- loop

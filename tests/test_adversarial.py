@@ -1,0 +1,183 @@
+"""SiDA-style adversarial training tests (tiny model, CPU).
+
+The reference only ANNOUNCES this capability (README.md:12); these tests pin
+our implementation: encoder-only UNet tower, GAN loss math, the augmented
+two-phase step (finite metrics, both phases influenced), the latent corpus
+reader, and the encode_latents CLI roundtrip.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sid_lsg_tpu import models
+from sid_lsg_tpu.diffusion import DDPMScheduler
+from sid_lsg_tpu.training import (
+    DistillConfig, adversarial, init_state, make_optimizer, make_train_step,
+)
+
+L, D = 8, 32
+
+
+def _tiny_unet():
+    sd = models.TINY
+    unet = models.UNet2DCondition(sd.unet)
+    lat = jnp.zeros((1, sd.unet.sample_size, sd.unet.sample_size, 4))
+    params = unet.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,), jnp.int32), jnp.zeros((1, L, D))
+    )["params"]
+    return sd, unet, params
+
+
+def test_encoder_only_features():
+    sd, unet, params = _tiny_unet()
+    s = sd.unet.sample_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, s, s, 4))
+    t = jnp.full((3,), 100, jnp.int32)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (3, L, D))
+    feats = unet.apply({"params": params}, x, t, emb, encoder_only=True)
+    # 2 levels -> one downsample -> bottleneck at s/2 with the top width.
+    assert feats.shape == (3, s // 2, s // 2, sd.unet.block_out_channels[-1])
+    assert bool(jnp.all(jnp.isfinite(feats)))
+    # The pooled logit responds to the input (gradient is nonzero).
+    pool = lambda x: jnp.sum(adversarial.pooled_logit(
+        unet.apply({"params": params}, x, t, emb, encoder_only=True)))
+    g = jax.grad(pool)(x)
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_gan_loss_math():
+    real = jnp.asarray([5.0, -5.0])
+    fake = jnp.asarray([-5.0, 5.0])
+    d = adversarial.d_loss(real, fake, "ns")
+    # Confident-correct D -> ~0 loss; confident-wrong -> large.
+    assert float(d[0]) < 0.02 and float(d[1]) > 9.0
+    g = adversarial.g_loss(fake, "ns")
+    assert float(g[0]) > 4.9 and float(g[1]) < 0.01
+    dh = adversarial.d_loss(real, fake, "hinge")
+    assert float(dh[0]) == 0.0 and float(dh[1]) == 12.0
+    assert float(adversarial.g_loss(jnp.asarray([2.0]), "hinge")[0]) == -2.0
+    with pytest.raises(ValueError):
+        adversarial.d_loss(real, fake, "wgan")
+
+
+def _adv_setup(adv_weight_D=0.1, adv_weight_G=0.1, a_rounds=1, mb=2, **kw):
+    sd, unet, params = _tiny_unet()
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+    encode = lambda p, x, t, c: unet.apply({"params": p}, x, t, c, encoder_only=True)
+    cfg = DistillConfig(
+        latent_size=sd.unet.sample_size, batch_size=a_rounds * mb,
+        adv_weight_D=adv_weight_D, adv_weight_G=adv_weight_G, **kw,
+    )
+    opt = make_optimizer(lr=1e-4)
+    step = make_train_step(apply, DDPMScheduler(), cfg, opt, opt,
+                           unet_encode=encode)
+    state = init_state(params, opt, opt)
+    s = sd.unet.sample_size
+    k = jax.random.PRNGKey(7)
+    batch = {
+        "emb_fake": jax.random.normal(jax.random.fold_in(k, 0), (a_rounds, mb, L, D)),
+        "emb_g": jax.random.normal(jax.random.fold_in(k, 1), (a_rounds, mb, L, D)),
+        "uncond_emb": jnp.zeros((L, D)),
+        "lat_real": jax.random.normal(jax.random.fold_in(k, 2), (a_rounds, mb, s, s, 4)),
+        "emb_real": jax.random.normal(jax.random.fold_in(k, 3), (a_rounds, mb, L, D)),
+    }
+    return step, state, params, batch
+
+
+def test_adversarial_step_runs():
+    step, state, params0, batch = _adv_setup(a_rounds=2)
+    state1, m = jax.jit(step)(state, params0, batch, jax.random.PRNGKey(3))
+    for key in ("fake_score_loss", "g_loss", "adv_d_loss", "adv_g_loss",
+                "d_logit_real", "d_logit_fake"):
+        assert key in m and np.isfinite(float(m[key])), key
+    assert int(m["fake_valid"]) == 4 and int(m["g_valid"]) == 4
+
+
+def test_adversarial_term_changes_updates():
+    """The adversarial weights must actually steer BOTH phases: compare one
+    step with weights on vs off (identical RNG and batch)."""
+    step_adv, state_a, params0, batch = _adv_setup()
+    step_off, state_o, _, _ = _adv_setup(adv_weight_D=0.0, adv_weight_G=0.0)
+    rng = jax.random.PRNGKey(3)
+    sa, ma = jax.jit(step_adv)(state_a, params0, batch, rng)
+    so, mo = jax.jit(step_off)(state_o, params0, batch, rng)
+    # The SiD parts of the losses are computed identically...
+    assert np.isclose(float(ma["fake_score_loss"]), float(mo["fake_score_loss"]),
+                      rtol=1e-4)
+    assert "adv_d_loss" not in mo
+    # ...but the applied updates differ in both phases.
+    d_psi = sum(float(jnp.sum(jnp.abs(x - y))) for x, y in zip(
+        jax.tree_util.tree_leaves(sa.params_fake),
+        jax.tree_util.tree_leaves(so.params_fake)))
+    d_g = sum(float(jnp.sum(jnp.abs(x - y))) for x, y in zip(
+        jax.tree_util.tree_leaves(sa.params_G),
+        jax.tree_util.tree_leaves(so.params_G)))
+    assert d_psi > 0 and d_g > 0
+
+
+def test_adversarial_requires_encoder():
+    sd, unet, params = _tiny_unet()
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+    cfg = DistillConfig(latent_size=sd.unet.sample_size, batch_size=2,
+                        adv_weight_D=0.1)
+    opt = make_optimizer(lr=1e-4)
+    with pytest.raises(ValueError, match="unet_encode"):
+        make_train_step(apply, DDPMScheduler(), cfg, opt, opt)
+
+
+def test_latent_dataset_roundtrip(tmp_path):
+    from sid_lsg_tpu.data.latents import InfiniteLatentIterator, LatentDataset
+
+    path = str(tmp_path / "latents.npz")
+    lat = np.random.RandomState(0).randn(10, 8, 8, 4).astype(np.float16)
+    caps = np.array([f"caption {i}" for i in range(10)])
+    np.savez(path, latents=lat, captions=caps)
+    ds = LatentDataset(path)
+    assert len(ds) == 10
+    x, c = ds[3]
+    assert x.shape == (8, 8, 4) and x.dtype == np.float32 and c == "caption 3"
+    # Striding: two processes see disjoint items, batches cycle forever.
+    seen = set()
+    for pi in range(2):
+        it = InfiniteLatentIterator(ds, batch_size=4, seed=1,
+                                    process_index=pi, process_count=2)
+        batch, caps_b = next(it)
+        assert batch.shape == (4, 8, 8, 4) and len(caps_b) == 4
+        seen.update(caps_b)
+    assert len(seen) == 8  # disjoint across processes within the epoch
+
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="encode_latents"):
+        LatentDataset(bad)
+
+
+def test_encode_latents_cli(tmp_path):
+    from click.testing import CliRunner
+    from PIL import Image
+
+    from sid_lsg_tpu.cli.encode_latents import main as encode_main
+    from sid_lsg_tpu.data.latents import LatentDataset
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):  # 3 images, batch 2 -> exercises the padded tail chunk
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(
+            src / f"{i:08d}.png")
+        (src / f"{i:08d}.txt").write_text(f"a photo number {i}")
+    dest = str(tmp_path / "out" / "latents.npz")
+    res = CliRunner().invoke(encode_main, [
+        "--source", str(src), "--dest", dest, "--repo_id", "tiny",
+        "--batch", "2", "--use_bf16", "0",
+    ])
+    assert res.exit_code == 0, res.output
+    ds = LatentDataset(dest)
+    assert len(ds) == 3
+    x, c = ds[0]
+    assert x.shape == (8, 8, 4) and c == "a photo number 0"
+    assert np.all(np.isfinite(x))
