@@ -8,8 +8,8 @@ Line 2 — full-width SD1.5 distillation train step (the reference hot loop,
 sid_training_loop.py:383-549: 8 UNet forwards, backprop through 5, CFG
 batch-doubling at kappa=1.5) at the largest single-chip configuration
 measured in BENCH_NOTES.md: 859M-param UNet, LoRA-psi, low-memory Adam
-(no-mu/bf16-nu), remat, bf16 compute.  Reports img/s/chip and MFU from XLA
-cost analysis over the v5e bf16 peak.
+(no-mu/bf16-nu), bf16 teacher storage, remat, bf16 compute, microbatch 4.
+Reports img/s/chip and MFU from XLA cost analysis over the v5e bf16 peak.
 
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
 uses documented estimates of the reference pipeline on one A100-80GB:
@@ -34,7 +34,7 @@ BASELINE_TRAIN_FP16 = 5.5  # img/s, fp16+xformers estimate
 V5E_BF16_PEAK_FLOPS = 197e12
 BATCH = 8
 ITERS = 10
-TRAIN_MB = 2
+TRAIN_MB = 4  # single-chip max at full width with the bf16-teacher recipe
 TRAIN_ITERS = 3
 
 
@@ -114,22 +114,28 @@ def bench_distill():
     jstep = jit_train_step(step)
 
     state = init_state(params, opt_g, opt_f, params_fake=lora)
+    # bf16 teacher storage (numerically free under bf16 compute) — frees the
+    # HBM that admits microbatch 4; drop the f32 tree (BENCH_NOTES.md).
+    teacher = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    for leaf in jax.tree_util.tree_leaves(params):
+        leaf.delete()
+    del params
     batch = {
         "emb_fake": jnp.zeros((1, TRAIN_MB, L, D)),
         "emb_g": jnp.zeros((1, TRAIN_MB, L, D)),
         "uncond_emb": jnp.zeros((L, D)),
     }
     rng = jax.random.PRNGKey(0)
-    compiled = jstep.lower(state, params, batch, rng).compile()
+    compiled = jstep.lower(state, teacher, batch, rng).compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
-    state, metrics = compiled(state, params, batch, rng)
+    state, metrics = compiled(state, teacher, batch, rng)
     jax.block_until_ready(metrics)  # warmup
     t0 = time.perf_counter()
     for _ in range(TRAIN_ITERS):
-        state, metrics = compiled(state, params, batch, rng)
+        state, metrics = compiled(state, teacher, batch, rng)
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / TRAIN_ITERS
 

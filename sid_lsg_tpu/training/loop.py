@@ -93,6 +93,11 @@ class TrainConfig:
     # Low-memory Adam state for theta (no first moment at b1=0, bf16 second
     # moment) — the single-chip full-width escape hatch (BENCH_NOTES.md).
     low_mem_opt: bool = False
+    # Store the frozen teacher in bf16.  The UNet casts params to the compute
+    # dtype at apply time anyway, so with bf16 compute this only moves that
+    # rounding to load time — and frees a full f32-minus-bf16 param set of
+    # HBM (1.7 GB at SD1.5 width; what unlocks microbatch 4 on one v5e).
+    teacher_bf16: bool = False
     # LoRA fake score (reference --fake_score_use_lora, sid_train.py:157).
     fake_score_use_lora: bool = False
     lora_rank: int = 4
@@ -200,11 +205,23 @@ class Trainer:
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
 
         # Teacher stays a separate frozen pytree; state holds the 3 trainables.
-        self.teacher = shard_params(self.pipe.params["unet"], self.mesh)
-        state = init_state(self.pipe.params["unet"], self.opt_g, self.opt_fake,
+        # State init must see the f32 weights (theta/EMA are f32 masters);
+        # the teacher cast happens after.
+        unet_f32 = self.pipe.params["unet"]
+        state = init_state(unet_f32, self.opt_g, self.opt_fake,
                            resume_nimg=cfg.resume_kimg * 1000,
                            params_fake=params_fake_init)
         self.state = self._shard_state(state)
+        teacher = unet_f32
+        if cfg.teacher_bf16:
+            teacher = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), unet_f32
+            )
+            # Drop the f32 original (sampling goes through params['generator'],
+            # which the loop points at the EMA): keeping both copies alive
+            # costs a full param set of HBM.
+            self.pipe.params = dict(self.pipe.params, unet=teacher)
+        self.teacher = shard_params(teacher, self.mesh)
 
         # Prompt stream: one fresh microbatch per accumulation round per phase.
         if cfg.data:
