@@ -1,0 +1,196 @@
+"""AOT-compile the multi-chip distillation step against a TPU pod topology.
+
+Proof-without-the-pod for the FSDP configuration (the reference's announced
+roadmap item, README.md:11): JAX topology descriptions let the TPU compiler
+target e.g. a v5e 2x2 slice from a single-chip (or chipless) host, so the
+full-psi (non-LoRA) sharded train step can be validated — compiles, SPMD
+partitions, and fits per-chip HBM — before any pod time is booked.
+
+Prints one JSON line: topology, mesh, per-device memory analysis from the
+compiled executable, and fit-vs-HBM verdict.
+
+Usage:
+  python scripts/aot_compile_multichip.py --topology v5e:2x2 --fsdp 4 \
+      --width 1.0 --mb 2
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Topology compile needs only libtpu's compiler, not a device claim.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-8")
+os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+os.environ.setdefault("TPU_SKIP_MDS_QUERY", "1")
+# The host backend is CPU but the lowering target is TPU: force the Pallas
+# kernels (registry 'auto' would see the cpu backend and pick 'ref', whose
+# S x S attention does not fit TPU HBM at training shapes).
+os.environ.setdefault("SIDLSG_OPS_IMPL", "pallas")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_HBM_BYTES = 16 * 2**30  # v5e: 16 GiB per chip
+
+
+def abstract_params(module, *args):
+    return jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args))["params"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--topology", default="v5e:2x2",
+                    help="PJRT topology name (v5e:2x2, v5e:2x4, v5e:4x4, ...)")
+    ap.add_argument("--fsdp", type=int, default=4)
+    ap.add_argument("--dp", type=int, default=None)
+    ap.add_argument("--width", type=float, default=1.0)
+    ap.add_argument("--mb", type=int, default=2, help="PER-DEVICE microbatch")
+    ap.add_argument("--kappa", type=float, default=1.5)
+    ap.add_argument("--lora", action="store_true",
+                    help="LoRA psi (default: FULL psi — the fsdp proof target)")
+    ap.add_argument("--lowmem", action="store_true")
+    ap.add_argument("--teacher-bf16", action="store_true")
+    args = ap.parse_args()
+
+    from jax.experimental import topologies
+
+    from sid_lsg_tpu import models
+    from sid_lsg_tpu.diffusion import DDPMScheduler
+    from sid_lsg_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, param_shardings, replicated_sharding,
+    )
+    from sid_lsg_tpu.training import (
+        DistillConfig, init_state, make_optimizer, make_train_step,
+    )
+
+    topo = topologies.get_topology_desc(platform="tpu", topology_name=args.topology)
+    devices = topo.devices
+    mesh = make_mesh(fsdp=args.fsdp, dp=args.dp, devices=devices)
+    from sid_lsg_tpu.ops.attention import set_shard_mesh
+
+    set_shard_mesh(mesh)
+
+    base = models.SD15.unet
+    snap = lambda c: max(64, int(round(c * args.width / 64)) * 64)
+    ucfg = dataclasses.replace(
+        base, block_out_channels=tuple(snap(c) for c in base.block_out_channels)
+    )
+    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=True)
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+
+    L, D = 77, ucfg.cross_attention_dim
+    lat = jnp.zeros((1, ucfg.sample_size, ucfg.sample_size, 4))
+    params_abs = abstract_params(
+        unet, lat, jnp.zeros((1,), jnp.int32), jnp.zeros((1, L, D))
+    )
+
+    fake_transform = None
+    fake_abs = None
+    if args.lora:
+        from sid_lsg_tpu.training.lora import apply_lora, init_lora
+
+        fake_abs = jax.eval_shape(
+            lambda p: init_lora(jax.random.PRNGKey(1), p, rank=4), params_abs
+        )
+        fake_transform = lambda pf, teacher: apply_lora(teacher, pf)
+
+    n_dev = len(devices)
+    global_mb = args.mb * n_dev
+    cfg = DistillConfig(
+        latent_size=ucfg.sample_size, batch_size=global_mb,
+        cfg_train_fake=args.kappa, cfg_eval_fake=args.kappa,
+        cfg_eval_real=args.kappa, dtype=jnp.bfloat16,
+    )
+    opt_g = make_optimizer(lr=1e-6, low_mem_state=args.lowmem)
+    opt_f = make_optimizer(lr=1e-6, low_mem_state=args.lowmem and not args.lora)
+    step = make_train_step(apply, DDPMScheduler(), cfg, opt_g, opt_f,
+                           fake_transform=fake_transform)
+
+    state_abs = jax.eval_shape(
+        lambda p, pf: init_state(p, opt_g, opt_f, params_fake=pf),
+        params_abs, fake_abs,
+    )
+    teacher_abs = params_abs
+    if args.teacher_bf16:
+        teacher_abs = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), params_abs
+        )
+    batch_abs = {
+        "emb_fake": jax.ShapeDtypeStruct((1, global_mb, L, D), jnp.float32),
+        "emb_g": jax.ShapeDtypeStruct((1, global_mb, L, D), jnp.float32),
+        "uncond_emb": jax.ShapeDtypeStruct((L, D), jnp.float32),
+    }
+    rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    # Shardings: params by the FSDP rule, batch split over dp x fsdp, scalars
+    # and the rng replicated.
+    p_shard = lambda tree: param_shardings(tree, mesh)
+    rep = replicated_sharding(mesh)
+    arr_or_rep = lambda tree: jax.tree_util.tree_map(
+        lambda s: p_shard({"x": s})["x"] if len(s.shape) else rep, tree
+    )
+    state_shardings = type(state_abs)(
+        step=rep, nimg=rep,
+        params_G=p_shard(state_abs.params_G),
+        params_fake=p_shard(state_abs.params_fake),
+        ema=p_shard(state_abs.ema),
+        opt_G=arr_or_rep(state_abs.opt_G),
+        opt_fake=arr_or_rep(state_abs.opt_fake),
+    )
+    # Batch layout is (A, mb, ...): shard the microbatch axis (1), not A.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_shardings = {
+        "emb_fake": NamedSharding(mesh, P(None, ("dp", "fsdp"), None, None)),
+        "emb_g": NamedSharding(mesh, P(None, ("dp", "fsdp"), None, None)),
+        "uncond_emb": rep,
+    }
+
+    jstep = jax.jit(
+        step,
+        in_shardings=(state_shardings, p_shard(teacher_abs), batch_shardings, rep),
+        donate_argnums=(0,),
+    )
+    t0 = time.perf_counter()
+    lowered = jstep.lower(state_abs, teacher_abs, batch_abs, rng_abs)
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+
+    ma = compiled.memory_analysis()
+    get = lambda k: int(getattr(ma, k, 0) or 0)
+    per_dev = {
+        "argument_gb": round(get("argument_size_in_bytes") / 2**30, 2),
+        "output_gb": round(get("output_size_in_bytes") / 2**30, 2),
+        "temp_gb": round(get("temp_size_in_bytes") / 2**30, 2),
+        "alias_gb": round(get("alias_size_in_bytes") / 2**30, 2),
+    }
+    # Donation aliases the state into the output; live = args + temps.
+    live_gb = per_dev["argument_gb"] + per_dev["temp_gb"]
+    print(json.dumps({
+        "topology": args.topology,
+        "devices": n_dev,
+        "mesh": {k: int(v) for k, v in mesh.shape.items()},
+        "width": args.width,
+        "mb_per_device": args.mb,
+        "global_mb": global_mb,
+        "full_psi": not args.lora,
+        "lowmem": args.lowmem,
+        "teacher_bf16": args.teacher_bf16,
+        "compile_s": round(compile_s, 1),
+        "per_device": per_dev,
+        "live_gb": round(live_gb, 2),
+        "hbm_gb": round(V5E_HBM_BYTES / 2**30, 2),
+        "fits": live_gb < V5E_HBM_BYTES / 2**30,
+    }))
+
+
+if __name__ == "__main__":
+    main()

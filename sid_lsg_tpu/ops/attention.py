@@ -440,6 +440,36 @@ def _BWD_MODE() -> str:
 
 register_op("attention", "pallas", _attention_pallas)
 
+# Mesh registered by multi-chip training graphs (Trainer / bench / AOT
+# scripts).  GSPMD cannot auto-partition Mosaic custom calls ("Mosaic kernels
+# cannot be automatically partitioned"), so when a >1-device mesh is active
+# the pallas path must run inside a shard_map manual region, batch-sharded
+# over every mesh axis — attention is embarrassingly parallel across batch,
+# so per-shard kernels + zero collectives is also the fastest layout.
+_SHARD_MESH = None
+
+
+def set_shard_mesh(mesh) -> None:
+    """Declare the mesh jitted training graphs shard over (None to clear).
+
+    Single-device meshes clear the setting: shard_map is only required (and
+    only pays off) when XLA would otherwise have to partition the kernel.
+    """
+    global _SHARD_MESH
+    _SHARD_MESH = mesh if (mesh is not None and mesh.size > 1) else None
+
+
+def _shard_mapped_pallas(q, k, v, scale, causal):
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _SHARD_MESH
+    spec = P(tuple(mesh.axis_names))
+    inner = lambda q_, k_, v_: _attention_pallas(q_, k_, v_, scale, causal)
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
 
 def attention(
     q: jnp.ndarray,
@@ -453,6 +483,13 @@ def attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     fn = impl_for("attention", impl, pallas_ok=not causal)
+    if (
+        fn is _attention_pallas
+        and _SHARD_MESH is not None
+        and not causal
+        and q.shape[0] % _SHARD_MESH.size == 0
+    ):
+        return _shard_mapped_pallas(q, k, v, scale, causal)
     return fn(q, k, v, scale, causal)
 
 

@@ -146,6 +146,12 @@ class Trainer:
             cfg.model, dtype=dtype, prediction_type=cfg.prediction_type
         )
         self.mesh = make_mesh(fsdp=cfg.fsdp)
+        # Mosaic kernels inside multi-device jits must run in a shard_map
+        # manual region (GSPMD cannot auto-partition them) — register the mesh
+        # so ops.attention wraps its pallas path per-shard.
+        from ..ops.attention import set_shard_mesh
+
+        set_shard_mesh(self.mesh)
         sd_cfg = self.pipe.config
 
         assert cfg.batch_size % cfg.microbatch == 0, "batch_size % microbatch != 0"

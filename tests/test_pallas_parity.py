@@ -118,3 +118,40 @@ def test_flash_attention_backward_modes_parity(mode, monkeypatch):
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3,
             err_msg=f"d{name} mismatch ({mode})",
         )
+
+
+def test_flash_attention_shard_mapped_parity():
+    """With a >1-device mesh registered, the pallas path must route through a
+    shard_map manual region (GSPMD cannot auto-partition Mosaic custom calls
+    — the multi-chip compile fails without this) and still match the ref."""
+    from sid_lsg_tpu.ops.attention import set_shard_mesh
+    from sid_lsg_tpu.parallel import make_mesh
+
+    mesh = make_mesh(fsdp=2)  # 8 CPU devices -> dp=4, fsdp=2
+    q = jax.random.normal(jax.random.PRNGKey(0), (8, 2, 128, 32))
+    k = jax.random.normal(jax.random.PRNGKey(1), (8, 2, 96, 32))
+    v = jax.random.normal(jax.random.PRNGKey(2), (8, 2, 96, 32))
+    ref = ops.attention(q, k, v, impl="ref")
+    try:
+        set_shard_mesh(mesh)
+        with interp():
+            out = ops.attention(q, k, v, impl="pallas")
+            grad = jax.grad(
+                lambda q_: jnp.sum(jnp.sin(ops.attention(q_, k, v, impl="pallas")))
+            )(q)
+    finally:
+        set_shard_mesh(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    g_ref = jax.grad(
+        lambda q_: jnp.sum(jnp.sin(ops.attention(q_, k, v, impl="ref")))
+    )(q)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref), atol=5e-5, rtol=1e-3)
+    # Batch not divisible by the mesh -> transparently falls back (no crash).
+    q3 = q[:3]
+    try:
+        set_shard_mesh(mesh)
+        with interp():
+            out3 = ops.attention(q3, k[:3], v[:3], impl="pallas")
+    finally:
+        set_shard_mesh(None)
+    assert out3.shape == (3, 2, 128, 32)
