@@ -23,6 +23,7 @@ uses documented estimates of the reference pipeline on one A100-80GB:
 
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -32,7 +33,7 @@ BASELINE_A100_IMG_PER_SEC = 12.0  # inference, documented estimate (docstring)
 BASELINE_TRAIN_PAPER_CFG = 0.55  # img/s, fp32 paper config estimate
 BASELINE_TRAIN_FP16 = 5.5  # img/s, fp16+xformers estimate
 V5E_BF16_PEAK_FLOPS = 197e12
-BATCH = 8
+BATCH = int(os.environ.get("SIDLSG_BENCH_BATCH", "8"))
 ITERS = 10
 TRAIN_MB = 4  # single-chip max at full width with the bf16-teacher recipe
 TRAIN_ITERS = 3

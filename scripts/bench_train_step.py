@@ -56,6 +56,8 @@ def main():
                          "casts params to bf16, so this only moves the one-time "
                          "rounding; frees ~1.7 GB at SD1.5 width)")
     ap.add_argument("--compile-only", action="store_true")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax profiler trace of the timed steps here")
     args = ap.parse_args()
 
     from sid_lsg_tpu import models
@@ -158,11 +160,15 @@ def main():
 
     state, metrics = compiled(state, teacher, batch, rng)
     jax.block_until_ready(metrics)  # warmup
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = compiled(state, teacher, batch, rng)
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / args.iters
+    if args.profile_dir:
+        jax.profiler.stop_trace()
 
     peak_flops = 197e12  # v5e bf16
     result.update({

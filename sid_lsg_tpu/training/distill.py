@@ -282,6 +282,26 @@ def make_train_step(
         aux metric dict.  ``extras`` is a pytree of per-round arrays (leading
         dim A) scanned alongside the embeddings; empty dict when unused."""
         a_rounds = embs.shape[0]
+
+        def one_round(idx, emb, extra):
+            r = jax.random.fold_in(rng, idx)
+            r_drop, r_draw, r_multi = jax.random.split(r, 3)
+            if use_dropout:
+                emb = _dropout_context(r_drop, emb, uncond_b)
+            return grad_fn(params, emb, extra, r_draw, r_multi)
+
+        if a_rounds == 1:
+            # No accumulation: skip the while-loop entirely.  The scan carry
+            # makes XLA materialise an extra full-gradient copy per round
+            # (profiled at ~6% of the full-width step) that a straight call
+            # avoids; RNG (fold_in(rng, 0)) matches the scan path exactly.
+            first = lambda x: x[0]
+            return one_round(
+                jnp.int32(0),
+                embs[0],
+                jax.tree_util.tree_map(first, extras),
+            )
+
         zero_grads = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), params
         )
@@ -289,11 +309,7 @@ def make_train_step(
         def body(carry, inp):
             grads_acc, aux_acc = carry
             emb, extra, idx = inp
-            r = jax.random.fold_in(rng, idx)
-            r_drop, r_draw, r_multi = jax.random.split(r, 3)
-            if use_dropout:
-                emb = _dropout_context(r_drop, emb, uncond_b)
-            grads, aux = grad_fn(params, emb, extra, r_draw, r_multi)
+            grads, aux = one_round(idx, emb, extra)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             aux_acc = jax.tree_util.tree_map(jnp.add, aux_acc, aux)
             return (grads_acc, aux_acc), None
