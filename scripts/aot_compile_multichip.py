@@ -15,7 +15,6 @@ Usage:
 """
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -78,11 +77,7 @@ def main():
 
     set_shard_mesh(mesh)
 
-    base = models.SD15.unet
-    snap = lambda c: max(64, int(round(c * args.width / 64)) * 64)
-    ucfg = dataclasses.replace(
-        base, block_out_channels=tuple(snap(c) for c in base.block_out_channels)
-    )
+    ucfg = models.scaled_unet_config(models.SD15.unet, args.width)
     unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=True)
     apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
 

@@ -11,7 +11,6 @@ Usage (serialize TPU runs — the axon claim is per-process):
 """
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -69,12 +68,7 @@ def main():
     from sid_lsg_tpu.training.lora import apply_lora, init_lora
 
     enable_compile_cache()
-    base = models.SD15.unet
-    snap = lambda c: max(64, int(round(c * args.width / 64)) * 64)  # /32 groups, /8 heads
-    ucfg = dataclasses.replace(
-        base,
-        block_out_channels=tuple(snap(c) for c in base.block_out_channels),
-    )
+    ucfg = models.scaled_unet_config(models.SD15.unet, args.width)
     unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=bool(args.remat),
                                   remat_policy=args.remat_policy)
     apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)

@@ -89,9 +89,20 @@ def main(source, dest, repo_id, batch, max_images, use_bf16):
     click.echo("")
     latents = np.concatenate(all_latents, axis=0)
     os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
-    np.savez(dest, latents=latents, captions=np.array(all_captions))
-    click.echo(f"wrote {dest}: latents {latents.shape} {latents.dtype}, "
-               f"{len(all_captions)} captions")
+    # Latents go into a RAW sidecar .npy (np.load(npz, mmap_mode=...) is
+    # silently ignored for zip archives): data/latents.LatentDataset mmaps
+    # this file, keeping training startup O(1) in corpus size.
+    from ..data.latents import _sidecar_path
+
+    sidecar = _sidecar_path(os.path.abspath(dest))
+    mm = np.lib.format.open_memmap(
+        sidecar, mode="w+", dtype=np.float16, shape=latents.shape
+    )
+    mm[:] = latents
+    mm.flush()
+    np.savez(dest, captions=np.array(all_captions))
+    click.echo(f"wrote {sidecar}: {latents.shape} float16 (mmap source) and "
+               f"{dest}: {len(all_captions)} captions")
 
 
 if __name__ == "__main__":

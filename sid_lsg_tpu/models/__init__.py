@@ -8,6 +8,7 @@ from .configs import (
     UNetConfig,
     VAEConfig,
     resolve,
+    scaled_unet_config,
 )
 from .unet import UNet2DCondition
 from .vae import AutoencoderKL, Decoder, Encoder

@@ -140,3 +140,15 @@ def resolve(name_or_repo: str) -> SDConfig:
     if name_or_repo in HF_REPOS:
         return HF_REPOS[name_or_repo]
     raise KeyError(f"unknown model preset {name_or_repo!r}")
+
+
+def scaled_unet_config(base: UNetConfig, width: float) -> UNetConfig:
+    """Channel-scaled UNet variant for benches/AOT proofs, snapped to
+    multiples of 64 so /32 GroupNorm groups and /8 head splits stay valid.
+    Shared by ``scripts/bench_train_step.py`` and
+    ``scripts/aot_compile_multichip.py`` — the two must measure and prove the
+    SAME configuration."""
+    snap = lambda c: max(64, int(round(c * width / 64)) * 64)
+    return dataclasses.replace(
+        base, block_out_channels=tuple(snap(c) for c in base.block_out_channels)
+    )

@@ -19,6 +19,7 @@ true kv length.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -454,9 +455,24 @@ def set_shard_mesh(mesh) -> None:
 
     Single-device meshes clear the setting: shard_map is only required (and
     only pays off) when XLA would otherwise have to partition the kernel.
+    The setting matters at TRACE time only — prefer ``shard_mesh_scope``
+    around the traced call so unrelated later jits (eval, sampling) are not
+    rerouted through a stale training mesh.
     """
     global _SHARD_MESH
     _SHARD_MESH = mesh if (mesh is not None and mesh.size > 1) else None
+
+
+@contextlib.contextmanager
+def shard_mesh_scope(mesh):
+    """Scoped set_shard_mesh: restores the previous mesh on exit."""
+    global _SHARD_MESH
+    prev = _SHARD_MESH
+    set_shard_mesh(mesh)
+    try:
+        yield
+    finally:
+        _SHARD_MESH = prev
 
 
 def _shard_mapped_pallas(q, k, v, scale, causal):

@@ -288,6 +288,13 @@ def make_train_step(
             r_drop, r_draw, r_multi = jax.random.split(r, 3)
             if use_dropout:
                 emb = _dropout_context(r_drop, emb, uncond_b)
+                if "emb_real" in extra:
+                    # Same r_drop -> same rows: the SiDA discriminator must
+                    # see identical conditioning-dropout statistics on real
+                    # and fake pairs, or "carries the uncond embedding"
+                    # becomes a spurious fake marker.
+                    extra = dict(extra, emb_real=_dropout_context(
+                        r_drop, extra["emb_real"], uncond_b))
             return grad_fn(params, emb, extra, r_draw, r_multi)
 
         if a_rounds == 1:

@@ -146,13 +146,12 @@ class Trainer:
             cfg.model, dtype=dtype, prediction_type=cfg.prediction_type
         )
         self.mesh = make_mesh(fsdp=cfg.fsdp)
-        # Mosaic kernels inside multi-device jits must run in a shard_map
-        # manual region (GSPMD cannot auto-partition them) — register the mesh
-        # so ops.attention wraps its pallas path per-shard.
-        from ..ops.attention import set_shard_mesh
-
-        set_shard_mesh(self.mesh)
         sd_cfg = self.pipe.config
+        if cfg.remat_policy != "full" and not cfg.gradient_checkpointing:
+            raise ValueError(
+                f"remat_policy={cfg.remat_policy!r} has no effect without "
+                "gradient_checkpointing — pass --grad-ckpt 1"
+            )
 
         assert cfg.batch_size % cfg.microbatch == 0, "batch_size % microbatch != 0"
         self.a_rounds = cfg.batch_size // cfg.microbatch
@@ -208,7 +207,22 @@ class Trainer:
                                   self.opt_g, self.opt_fake,
                                   fake_transform=fake_transform,
                                   unet_encode=unet_encode)
-        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        jitted_step = jax.jit(step_fn, donate_argnums=(0,))
+        if self.mesh.size > 1:
+            # Mosaic kernels inside multi-device jits must run in shard_map
+            # manual regions (GSPMD cannot auto-partition them).  The mesh
+            # registration matters only while the step TRACES, so scope it to
+            # the call — later unrelated jits (sampling, metrics) trace with
+            # a clean global.
+            from ..ops.attention import shard_mesh_scope
+
+            def train_step(*args):
+                with shard_mesh_scope(self.mesh):
+                    return jitted_step(*args)
+
+            self.train_step = train_step
+        else:
+            self.train_step = jitted_step
 
         # Teacher stays a separate frozen pytree; state holds the 3 trainables.
         # State init must see the f32 weights (theta/EMA are f32 masters);
@@ -240,9 +254,11 @@ class Trainer:
             process_count=runtime.get_process_count(),
         )
 
-        # Real-latent stream for the SiDA discriminator (adversarial mode).
+        # Real-latent stream for the SiDA discriminator.  Only the D loss
+        # consumes real latents; a G-only adversarial run must not pay for
+        # (or warn about) a corpus it never reads.
         self.latents = None
-        if self.dcfg.adversarial:
+        if self.dcfg.adv_weight_D > 0.0:
             if cfg.adv_data:
                 from ..data.latents import InfiniteLatentIterator, LatentDataset
 
