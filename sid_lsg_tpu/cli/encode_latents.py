@@ -70,11 +70,21 @@ def main(source, dest, repo_id, batch, max_images, use_bf16):
     if max_images is not None:
         pairs = pairs[:max_images]
     all_latents, all_captions = [], []
+    corpus_hw = None  # every image must share one resolution (jit + np.stack)
     for start in range(0, len(pairs), batch):
         chunk = pairs[start : start + batch]
         imgs, caps = [], []
         for img_path, txt_path in chunk:
             img = np.asarray(Image.open(img_path).convert("RGB"), np.float32)
+            if corpus_hw is None:
+                corpus_hw = img.shape[:2]
+            elif img.shape[:2] != corpus_hw:
+                raise click.UsageError(
+                    f"{img_path}: size {img.shape[1]}x{img.shape[0]} differs "
+                    f"from the corpus's {corpus_hw[1]}x{corpus_hw[0]} — all "
+                    "images must share one resolution. Prepare the folder "
+                    "with sid-cocodataset-tool (square center-crop resize)."
+                )
             imgs.append(img / 127.5 - 1.0)
             with open(txt_path, encoding="utf-8") as f:
                 caps.append(f.read().strip())

@@ -96,7 +96,18 @@ class InfiniteLatentIterator:
         strided = order[self.process_index :: self.process_count]
         # Tiny corpus (< process_count): the stride can be empty for high
         # ranks — fall back to the full permutation so every process still
-        # yields forever (the prompt-iterator contract).
+        # yields forever (the prompt-iterator contract).  That breaks the
+        # disjoint multi-host striding (duplicated discriminator data), so
+        # make it visible once.
+        if not len(strided) and not getattr(self, "_warned_tiny", False):
+            self._warned_tiny = True
+            print(
+                f"WARNING: latent corpus ({len(self.dataset)} items) is smaller "
+                f"than the process count ({self.process_count}); process "
+                f"{self.process_index} falls back to the FULL permutation — "
+                "multi-host discriminator batches will overlap.",
+                flush=True,
+            )
         self._order = strided if len(strided) else order
         self._pos = 0
         self._epoch += 1

@@ -49,15 +49,28 @@ def inception_detector(weights_path: Optional[str] = None) -> Callable:
 
 @functools.lru_cache(maxsize=2)
 def clip_scorer(weights_path: Optional[str] = None, preset: str = "auto"):
-    """Joint CLIP scorer (reference's open_clip ViT-g-14 role)."""
-    from ..models.clip_vision import TINY_CLIP, VIT_G_14, CLIPScorer, convert_open_clip
+    """Joint CLIP scorer (reference's open_clip ViT-g-14 role; the hpsv2
+    metric feeds it a ViT-H-14 checkpoint)."""
+    from ..models.clip_vision import (
+        TINY_CLIP, VIT_G_14, VIT_H_14, CLIPScorer, config_from_open_clip,
+        convert_open_clip,
+    )
 
     weights_path = weights_path or os.environ.get("SIDLSG_CLIP_WEIGHTS") or None
     if weights_path:
         from ..models.convert import load_torch_state_dict
 
-        cfg = VIT_G_14 if preset in ("auto", "vit_g_14") else TINY_CLIP
-        params = convert_open_clip(load_torch_state_dict(weights_path), cfg)
+        sd = load_torch_state_dict(weights_path)
+        if preset == "auto":
+            # Derive the tower from the checkpoint's own shapes: ViT-g-14
+            # (metrics), ViT-H-14 (HPSv2) and tiny test towers all convert
+            # through one path.  A preset-guess of g-14 would KeyError on any
+            # other depth.
+            cfg = config_from_open_clip(sd)
+        else:
+            cfg = {"vit_g_14": VIT_G_14, "vit_h_14": VIT_H_14,
+                   "tiny": TINY_CLIP}[preset]
+        params = convert_open_clip(sd, cfg)
         return CLIPScorer(cfg, params=params)
     print(
         "[sid_lsg_tpu.metrics] WARNING: CLIP scorer running with random tiny "

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .clip_text import CLIPTextModel
+from .clip_text import CLIPTextModel, _act
 from .configs import CLIPTextConfig
 from .layers import Attention, LayerNorm32
 
@@ -40,6 +40,9 @@ class CLIPVisionConfig:
     num_attention_heads: int = 16
     projection_dim: int = 1024
     layer_norm_eps: float = 1e-5
+    # 'gelu' (open_clip ViT-g/H towers) | 'quick_gelu' (OpenAI ViT-L towers,
+    # the transformers CLIPVisionConfig default).
+    hidden_act: str = "gelu"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +61,64 @@ VIT_G_14 = CLIPConfig(
     ),
     projection_dim=1024,
 )
+
+# ViT-H-14 — the tower HPSv2 fine-tunes (reference generate_hpsv2.py:190-192
+# scores through the hpsv2 package, which wraps open_clip ViT-H-14).
+VIT_H_14 = CLIPConfig(
+    vision=CLIPVisionConfig(
+        hidden_size=1280, intermediate_size=5120, num_hidden_layers=32,
+        num_attention_heads=16, projection_dim=1024,
+    ),
+    text=CLIPTextConfig(
+        hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+        num_attention_heads=16, hidden_act="gelu",
+    ),
+    projection_dim=1024,
+)
+
+
+def config_from_open_clip(state_dict) -> CLIPConfig:
+    """Derive the CLIPConfig from an open_clip checkpoint's own shapes, so
+    any ViT tower (g-14 for metrics, H-14 for HPSv2, tiny for tests) converts
+    without a preset guess."""
+    sd_shape = lambda k: tuple(np.shape(state_dict[k]))
+    width = sd_shape("visual.class_embedding")[0]
+    n_pos = sd_shape("visual.positional_embedding")[0]
+    patch = sd_shape("visual.conv1.weight")[2]
+    grid = int(round((n_pos - 1) ** 0.5))
+    layer_idx = lambda prefix: 1 + max(
+        int(k.split(".")[3]) for k in state_dict
+        if k.startswith(prefix) and k.endswith(".ln_1.weight")
+    )
+    vis_layers = layer_idx("visual.transformer.resblocks.")
+    txt_layers = 1 + max(
+        int(k.split(".")[2]) for k in state_dict
+        if k.startswith("transformer.resblocks.") and k.endswith(".ln_1.weight")
+    )
+    txt_width = sd_shape("ln_final.weight")[0]
+    embed_dim = sd_shape("text_projection")[1]
+    # Head count is not derivable from fused-qkv shapes; open_clip ViTs use
+    # 64-dim heads except H-14 (1280/16=80) and g-14 (1408/16=88).
+    vis_heads = 16 if width in (1280, 1408) else max(width // 64, 1)
+    return CLIPConfig(
+        vision=CLIPVisionConfig(
+            image_size=grid * patch, patch_size=patch, hidden_size=width,
+            intermediate_size=sd_shape(
+                "visual.transformer.resblocks.0.mlp.c_fc.weight")[0],
+            num_hidden_layers=vis_layers, num_attention_heads=vis_heads,
+            projection_dim=sd_shape("visual.proj")[1],
+        ),
+        text=CLIPTextConfig(
+            vocab_size=sd_shape("token_embedding.weight")[0],
+            hidden_size=txt_width,
+            intermediate_size=sd_shape("transformer.resblocks.0.mlp.c_fc.weight")[0],
+            num_hidden_layers=txt_layers,
+            num_attention_heads=max(txt_width // 64, 1),
+            max_position_embeddings=sd_shape("positional_embedding")[0],
+            hidden_act="gelu",
+        ),
+        projection_dim=embed_dim,
+    )
 
 TINY_CLIP = CLIPConfig(
     vision=CLIPVisionConfig(
@@ -87,7 +148,7 @@ class CLIPVisionLayer(nn.Module):
         )(h)
         h = LayerNorm32(cfg.layer_norm_eps, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype)
+        h = _act(cfg.hidden_act)(h.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 
@@ -143,7 +204,12 @@ class CLIPScorer:
         if tokenizer is None:
             from .tokenizer import HashTokenizer
 
-            tokenizer = HashTokenizer(vocab_size=config.text.vocab_size)
+            # model_max_length MUST match the tower's position table: longer
+            # ids index past it (OOB gather -> NaN fill under jit).
+            tokenizer = HashTokenizer(
+                vocab_size=config.text.vocab_size,
+                model_max_length=config.text.max_position_embeddings,
+            )
         self.tokenizer = tokenizer
         if params is None:
             r1, r2 = jax.random.split(jax.random.PRNGKey(seed))
@@ -185,6 +251,53 @@ class CLIPScorer:
         fi = self.image_features(images_uint8)
         ft = self.text_features(prompts)
         return jnp.sum(fi * ft, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# transformers CLIPVisionModelWithProjection state-dict conversion — the
+# offline torch-parity gate for the vision tower (the text tower already has
+# this gate via models.convert.convert_clip_text).
+
+
+def convert_hf_clip_vision(state_dict, config: CLIPVisionConfig) -> dict:
+    """Map a transformers ``CLIPVisionModelWithProjection`` state dict
+    (vision_model.* / visual_projection.*) to ``CLIPVisionModel`` params."""
+    sd = {k: np.asarray(v, dtype=np.float32) for k, v in state_dict.items()}
+    t = lambda w: np.ascontiguousarray(w.T)
+    ln = lambda p: {"ln": {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}}
+
+    def layer(i: int) -> dict:
+        p = f"vision_model.encoder.layers.{i}"
+        dense = lambda n: {"kernel": t(sd[f"{p}.{n}.weight"]), "bias": sd[f"{p}.{n}.bias"]}
+        return {
+            "ln_1": ln(f"{p}.layer_norm1"),
+            "ln_2": ln(f"{p}.layer_norm2"),
+            "attn": {
+                "to_q": dense("self_attn.q_proj"),
+                "to_k": dense("self_attn.k_proj"),
+                "to_v": dense("self_attn.v_proj"),
+                "to_out": dense("self_attn.out_proj"),
+            },
+            "mlp_fc1": dense("mlp.fc1"),
+            "mlp_fc2": dense("mlp.fc2"),
+        }
+
+    # HF spells it 'pre_layrnorm' (upstream typo kept for checkpoint compat).
+    pre_key = ("vision_model.pre_layrnorm"
+               if "vision_model.pre_layrnorm.weight" in sd
+               else "vision_model.pre_layernorm")
+    params = {
+        "patch_embed": {"kernel": np.transpose(
+            sd["vision_model.embeddings.patch_embedding.weight"], (2, 3, 1, 0))},
+        "class_embedding": sd["vision_model.embeddings.class_embedding"],
+        "positional_embedding": sd["vision_model.embeddings.position_embedding.weight"],
+        "ln_pre": ln(pre_key),
+        "ln_post": ln("vision_model.post_layernorm"),
+        "proj": t(sd["visual_projection.weight"]),
+    }
+    for i in range(config.num_hidden_layers):
+        params[f"layers_{i}"] = layer(i)
+    return params
 
 
 # ---------------------------------------------------------------------------

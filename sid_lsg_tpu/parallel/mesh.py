@@ -149,3 +149,52 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
 
     return jax.tree_util.tree_map(leaf, batch)
+
+
+# --------------------------------------------------------------------------
+# Train-step batch layout: (A, mb, ...) per-accumulation-round arrays.  The
+# microbatch axis (1) carries the data parallelism; the scan axis A stays
+# unsharded.  Keys not in ROUND_BATCH_KEYS (uncond_emb) are replicated.
+ROUND_BATCH_KEYS = ("emb_fake", "emb_g", "lat_real", "emb_real")
+
+
+def rounds_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (A, mb, ...) arrays: microbatch axis over all devices.
+
+    The PartitionSpec is a prefix — trailing dims are unsharded regardless of
+    rank, so one sharding serves embeddings (A,mb,L,D) and latents
+    (A,mb,h,w,c) alike.
+    """
+    return NamedSharding(mesh, P(None, (DP_AXIS, FSDP_AXIS)))
+
+
+def batch_shardings(batch: Any, mesh: Mesh) -> dict:
+    """Shardings for a train-step batch dict (keys decide the rule)."""
+    rep = replicated_sharding(mesh)
+    rnd = rounds_sharding(mesh)
+    return {k: (rnd if k in ROUND_BATCH_KEYS else rep) for k in batch}
+
+
+def shard_round_batch(batch: dict, mesh: Mesh) -> dict:
+    """Explicitly place a train-step batch onto the mesh (reference parity:
+    DDP's fixed batch placement, ``training/sid_training_loop.py:316-323``).
+
+    Called by the Trainer on every ``next_batch()`` output so GSPMD never has
+    to infer batch placement from use sites."""
+    shardings = batch_shardings(batch, mesh)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+def activation_constraint(x: jax.Array, mesh: Optional[Mesh]) -> jax.Array:
+    """``with_sharding_constraint`` pinning a (B, ...) activation to batch
+    sharding over all mesh axes.  No-op without a >1-device mesh.
+
+    Applied at the distillation step's phase boundaries (sampler outputs,
+    denoise outputs) so XLA's SPMD partitioner never has to guess — the
+    round-2 dryrun showed it guessing wrong ("Involuntary full
+    rematerialization" reshards of activation-sized tensors).
+    """
+    if mesh is None or mesh.size <= 1:
+        return x
+    spec = P((DP_AXIS, FSDP_AXIS), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

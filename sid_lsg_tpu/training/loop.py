@@ -154,6 +154,14 @@ class Trainer:
             )
 
         assert cfg.batch_size % cfg.microbatch == 0, "batch_size % microbatch != 0"
+        if self.mesh.size > 1 and cfg.microbatch % self.mesh.size != 0:
+            # The shard_map flash-attention routing (and even batch sharding)
+            # needs the microbatch to split evenly across devices; catching it
+            # here beats a cryptic Mosaic partition error at compile time.
+            raise ValueError(
+                f"microbatch={cfg.microbatch} not divisible by mesh size "
+                f"{self.mesh.size} (dp x fsdp) — pick a multiple"
+            )
         self.a_rounds = cfg.batch_size // cfg.microbatch
         self.dcfg = DistillConfig(
             latent_size=sd_cfg.unet.sample_size,
@@ -203,12 +211,49 @@ class Trainer:
                 rank=cfg.lora_rank,
             )
             fake_transform = lambda pf, teacher: apply_lora(teacher, pf)
+        # Teacher stays a separate frozen pytree; state holds the 3 trainables.
+        # State init must see the f32 weights (theta/EMA are f32 masters);
+        # the teacher cast happens after.
+        unet_f32 = self.pipe.params["unet"]
+        state = init_state(unet_f32, self.opt_g, self.opt_fake,
+                           resume_nimg=cfg.resume_kimg * 1000,
+                           params_fake=params_fake_init)
+        self.state = self._shard_state(state)
+        teacher = unet_f32
+        if cfg.teacher_bf16:
+            if not cfg.use_bf16:
+                runtime.print0(
+                    "WARNING: --teacher-bf16 with f32 compute (--bf16 0) "
+                    "quantizes the frozen teacher and DOES change numerics; "
+                    "it is numerically free only under bf16 compute."
+                )
+            teacher = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), unet_f32
+            )
+            # Drop the f32 original (sampling goes through params['generator'],
+            # which the loop points at the EMA): keeping both copies alive
+            # costs a full param set of HBM.
+            self.pipe.params = dict(self.pipe.params, unet=teacher)
+        self.teacher = shard_params(teacher, self.mesh)
+
+        multi = self.mesh.size > 1
+        from .distill import jit_train_step
+
         step_fn = make_train_step(unet_apply, self.pipe.scheduler, self.dcfg,
                                   self.opt_g, self.opt_fake,
                                   fake_transform=fake_transform,
-                                  unet_encode=unet_encode)
-        jitted_step = jax.jit(step_fn, donate_argnums=(0,))
-        if self.mesh.size > 1:
+                                  unet_encode=unet_encode,
+                                  mesh=self.mesh if multi else None)
+        batch_example = dict.fromkeys(
+            ("emb_fake", "emb_g", "uncond_emb")
+            + (("lat_real", "emb_real") if self.dcfg.adv_weight_D > 0.0 else ())
+        )
+        jitted_step = jit_train_step(
+            step_fn,
+            mesh=self.mesh if multi else None,
+            state=self.state, teacher=self.teacher, batch=batch_example,
+        )
+        if multi:
             # Mosaic kernels inside multi-device jits must run in shard_map
             # manual regions (GSPMD cannot auto-partition them).  The mesh
             # registration matters only while the step TRACES, so scope it to
@@ -223,25 +268,6 @@ class Trainer:
             self.train_step = train_step
         else:
             self.train_step = jitted_step
-
-        # Teacher stays a separate frozen pytree; state holds the 3 trainables.
-        # State init must see the f32 weights (theta/EMA are f32 masters);
-        # the teacher cast happens after.
-        unet_f32 = self.pipe.params["unet"]
-        state = init_state(unet_f32, self.opt_g, self.opt_fake,
-                           resume_nimg=cfg.resume_kimg * 1000,
-                           params_fake=params_fake_init)
-        self.state = self._shard_state(state)
-        teacher = unet_f32
-        if cfg.teacher_bf16:
-            teacher = jax.tree_util.tree_map(
-                lambda p: p.astype(jnp.bfloat16), unet_f32
-            )
-            # Drop the f32 original (sampling goes through params['generator'],
-            # which the loop points at the EMA): keeping both copies alive
-            # costs a full param set of HBM.
-            self.pipe.params = dict(self.pipe.params, unet=teacher)
-        self.teacher = shard_params(teacher, self.mesh)
 
         # Prompt stream: one fresh microbatch per accumulation round per phase.
         if cfg.data:
@@ -258,6 +284,12 @@ class Trainer:
         # consumes real latents; a G-only adversarial run must not pay for
         # (or warn about) a corpus it never reads.
         self.latents = None
+        if cfg.adv_data and self.dcfg.adv_weight_D == 0.0:
+            runtime.print0(
+                "WARNING: --adv_data is set but adv_weight_d == 0 — the "
+                "real-latent corpus will NOT be read (only the discriminator "
+                "loss consumes real latents)."
+            )
         if self.dcfg.adv_weight_D > 0.0:
             if cfg.adv_data:
                 from ..data.latents import InfiniteLatentIterator, LatentDataset
@@ -329,6 +361,12 @@ class Trainer:
         }
         if self.dcfg.adv_weight_D > 0.0:
             batch["lat_real"], batch["emb_real"] = self._adv_rounds()
+        if self.mesh.size > 1:
+            # Explicit placement (microbatch axis over dp x fsdp) — GSPMD
+            # never infers batch shardings from use sites (VERDICT r2 #1).
+            from ..parallel import shard_round_batch
+
+            batch = shard_round_batch(batch, self.mesh)
         return batch
 
     def save_snapshot(self, kimg: int) -> str:

@@ -1,0 +1,64 @@
+"""Committed tiny-HF-checkpoint golden: locks the converter import path.
+
+VERDICT r2 #6 (second half): ``tests/fixtures/tiny_hf_ckpt`` is a COMMITTED
+HF-layout checkpoint (diffusers/transformers key naming, safetensors) with
+pinned generation outputs (``golden.npz``).  Loading it through
+``load_sd_checkpoint`` and generating must reproduce the goldens — any
+layout/transpose mutation in ``models/convert.py`` (or module-semantics
+drift in the UNet/VAE/text towers) changes the result and fails here.
+Block-level math parity is separately gated torch-side in
+``test_torch_parity_sd_blocks.py``.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_hf_ckpt")
+
+
+@pytest.fixture(scope="module")
+def fixture_pipe():
+    if not os.path.isdir(FIXTURE):
+        pytest.skip("fixture not built (tests/fixtures/make_tiny_ckpt.py)")
+    from sid_lsg_tpu.models.configs import TINY
+    from sid_lsg_tpu.models.convert import load_sd_checkpoint
+    from sid_lsg_tpu.models.tokenizer import HashTokenizer
+    from sid_lsg_tpu.pipeline import SDPipeline
+
+    unet_p, vae_p, text_p = load_sd_checkpoint(FIXTURE, TINY)
+    return SDPipeline(TINY, {"unet": unet_p, "vae": vae_p, "text": text_p},
+                      HashTokenizer(vocab_size=TINY.text.vocab_size))
+
+
+def test_fixture_golden_generation(fixture_pipe):
+    import jax.numpy as jnp
+
+    golden = np.load(os.path.join(FIXTURE, "golden.npz"))
+    prompts = [str(p) for p in golden["prompts"]]
+    emb = fixture_pipe.encode_prompts(prompts)
+    # Text tower + tokenizer determinism through the converted checkpoint.
+    np.testing.assert_allclose(np.asarray(emb), golden["emb"], atol=2e-4, rtol=1e-3)
+    x0 = fixture_pipe.generate_latents(jnp.asarray(golden["latents"]),
+                                       jnp.asarray(golden["emb"]))
+    np.testing.assert_allclose(np.asarray(x0), golden["x0"], atol=5e-4, rtol=1e-3)
+    imgs = fixture_pipe.decode(jnp.asarray(golden["x0"]))
+    diff = np.abs(np.asarray(imgs).astype(np.int32) - golden["images"].astype(np.int32))
+    assert diff.max() <= 1, f"decoded images drifted (max uint8 delta {diff.max()})"
+
+
+def test_fixture_detects_transpose_mutation(fixture_pipe):
+    """A deliberate layout mutation (conv kernel transposed the wrong way)
+    must NOT reproduce the golden — proves the golden has teeth."""
+    import jax.numpy as jnp
+
+    golden = np.load(os.path.join(FIXTURE, "golden.npz"))
+    params = fixture_pipe.params["unet"]
+    k = np.asarray(params["conv_in"]["kernel"])  # HWIO
+    mutated = dict(params)
+    mutated["conv_in"] = dict(params["conv_in"], kernel=jnp.asarray(
+        np.transpose(k, (1, 0, 2, 3))))  # swap H/W -> simulates a bad mapper
+    x0 = fixture_pipe.generate_latents(
+        jnp.asarray(golden["latents"]), jnp.asarray(golden["emb"]), params=mutated)
+    assert not np.allclose(np.asarray(x0), golden["x0"], atol=5e-4, rtol=1e-3)

@@ -192,3 +192,139 @@ def test_hpsv2_metric_offline():
     res = calc_metric("hpsv2", opts=opts)
     assert -1 <= res.results.hpsv2_mean <= 1
     assert set(res.results) == {"hpsv2_photo", "hpsv2_anime", "hpsv2_mean"}
+
+
+# ---------------------------------------------------------------------------
+# HPSv2 scoring math (VERDICT r2 #7): the hpsv2 package's published score is
+# the PLAIN diagonal cosine of unit-normed open_clip features — no logit
+# scale (hpsv2/img_score.py: torch.diagonal(image_features @ text_features.T)
+# on normalized outputs).  These tests pin our scorer to that formula through
+# the full offline pipeline: open_clip-format checkpoint load, shape-derived
+# config, preprocessing/resize, normalisation, and logit_scale being ignored.
+
+
+def _synthetic_open_clip_sd(rng, vis_width=64, vis_layers=2, patch=8, img=32,
+                            txt_width=64, txt_layers=2, vocab=100, ctx=8,
+                            embed=32, mlp_ratio=2):
+    """Random open_clip-format (ViT-H-shaped key layout) state dict."""
+    r = lambda *s: rng.randn(*s).astype(np.float32) * 0.05
+    grid = img // patch
+    sd = {
+        "visual.conv1.weight": r(vis_width, 3, patch, patch),
+        "visual.class_embedding": r(vis_width),
+        "visual.positional_embedding": r(grid * grid + 1, vis_width),
+        "visual.ln_pre.weight": 1 + 0 * r(vis_width), "visual.ln_pre.bias": r(vis_width),
+        "visual.ln_post.weight": 1 + 0 * r(vis_width), "visual.ln_post.bias": r(vis_width),
+        "visual.proj": r(vis_width, embed),
+        "token_embedding.weight": r(vocab, txt_width),
+        "positional_embedding": r(ctx, txt_width),
+        "ln_final.weight": 1 + 0 * r(txt_width), "ln_final.bias": r(txt_width),
+        "text_projection": r(txt_width, embed),
+        # Present in every open_clip checkpoint; the score formula must NOT
+        # consume it.
+        "logit_scale": np.float32(4.6052),
+    }
+    for prefix, width, layers in (
+        ("visual.transformer.resblocks", vis_width, vis_layers),
+        ("transformer.resblocks", txt_width, txt_layers),
+    ):
+        for i in range(layers):
+            p = f"{prefix}.{i}"
+            sd[f"{p}.ln_1.weight"] = 1 + 0 * r(width)
+            sd[f"{p}.ln_1.bias"] = r(width)
+            sd[f"{p}.ln_2.weight"] = 1 + 0 * r(width)
+            sd[f"{p}.ln_2.bias"] = r(width)
+            sd[f"{p}.attn.in_proj_weight"] = r(3 * width, width)
+            sd[f"{p}.attn.in_proj_bias"] = r(3 * width)
+            sd[f"{p}.attn.out_proj.weight"] = r(width, width)
+            sd[f"{p}.attn.out_proj.bias"] = r(width)
+            sd[f"{p}.mlp.c_fc.weight"] = r(mlp_ratio * width, width)
+            sd[f"{p}.mlp.c_fc.bias"] = r(mlp_ratio * width)
+            sd[f"{p}.mlp.c_proj.weight"] = r(width, mlp_ratio * width)
+            sd[f"{p}.mlp.c_proj.bias"] = r(width)
+    return sd
+
+
+def test_clip_config_detection_vith_vitg():
+    """config_from_open_clip derives ViT-H-14 / ViT-g-14 from shapes alone."""
+    from sid_lsg_tpu.models.clip_vision import (
+        VIT_G_14, VIT_H_14, config_from_open_clip,
+    )
+
+    def shape_dict(width, layers, mlp, txt_width=1024, txt_layers=24):
+        z = lambda *s: np.zeros(s, np.float16)
+        sd = {
+            "visual.class_embedding": z(width),
+            "visual.positional_embedding": z(257, width),
+            "visual.conv1.weight": z(width, 3, 14, 14),
+            "visual.proj": z(width, 1024),
+            "visual.transformer.resblocks.0.mlp.c_fc.weight": z(mlp, width),
+            "transformer.resblocks.0.mlp.c_fc.weight": z(4096, txt_width),
+            "ln_final.weight": z(txt_width),
+            "token_embedding.weight": z(49408, txt_width),
+            "positional_embedding": z(77, txt_width),
+            "text_projection": z(txt_width, 1024),
+        }
+        for i in range(layers):
+            sd[f"visual.transformer.resblocks.{i}.ln_1.weight"] = z(width)
+        for i in range(txt_layers):
+            sd[f"transformer.resblocks.{i}.ln_1.weight"] = z(txt_width)
+        return sd
+
+    assert config_from_open_clip(shape_dict(1280, 32, 5120)) == VIT_H_14
+    assert config_from_open_clip(shape_dict(1408, 40, 6144)) == VIT_G_14
+
+
+def test_hpsv2_score_formula_synthetic_checkpoint(tmp_path):
+    """End-to-end through a saved checkpoint: clip_scorer auto-detects the
+    tower, features come out unit-norm, and score == diagonal cosine with the
+    checkpoint's logit_scale ignored."""
+    torch = pytest.importorskip("torch")
+
+    from sid_lsg_tpu.metrics.detectors import clip_scorer
+
+    rng = np.random.RandomState(7)
+    sd = _synthetic_open_clip_sd(rng)
+    path = str(tmp_path / "hps_vit.pt")
+    torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, path)
+
+    scorer = clip_scorer(weights_path=path)
+    assert scorer.config.vision.hidden_size == 64
+    assert scorer.config.vision.num_hidden_layers == 2
+
+    # 64x64 inputs exercise the bicubic resize to the tower's 32px grid.
+    images = rng.randint(0, 255, size=(3, 64, 64, 3)).astype(np.uint8)
+    prompts = ["a painting", "a photo of a dog", "x"]
+    fi = np.asarray(scorer.image_features(images))
+    ft = np.asarray(scorer.text_features(prompts))
+    np.testing.assert_allclose(np.linalg.norm(fi, axis=-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(ft, axis=-1), 1.0, rtol=1e-5)
+    score = np.asarray(scorer.score(images, prompts))
+    np.testing.assert_allclose(score, np.diagonal(fi @ ft.T), rtol=1e-5, atol=1e-6)
+    assert np.all(np.abs(score) <= 1.0 + 1e-6)  # cosine — logit_scale unused
+
+
+def test_hpsv2_metric_equals_manual_mean(tmp_path):
+    """The registered hpsv2 metric reproduces a manual mean-cosine over the
+    same deterministic generations (plumbing: seeds, padding, style keys)."""
+    import jax
+
+    from sid_lsg_tpu.diffusion.rng import StackedRandomGenerator
+    from sid_lsg_tpu.models.clip_vision import TINY_CLIP, CLIPScorer
+    from sid_lsg_tpu.pipeline import SDPipeline
+
+    pipe = SDPipeline.random_init("tiny")
+    scorer = CLIPScorer(TINY_CLIP)
+    opts = MetricOptions(pipe=pipe, clip=scorer, batch_size=2, num_gen=2,
+                         verbose=False)
+    opts.hpsv2_prompts = {"photo": ["a cat", "a dog"]}
+    res = calc_metric("hpsv2", opts=opts)
+
+    prompts = ["a cat", "a dog"]
+    latents = StackedRandomGenerator([0, 1]).randn(
+        (2, pipe.config.unet.sample_size, pipe.config.unet.sample_size, 4))
+    images = pipe.generate(prompts, latents, num_steps=opts.num_steps_eval,
+                           init_timestep=opts.init_timestep,
+                           rng=jax.random.PRNGKey(opts.seed))
+    manual = float(np.mean(np.asarray(scorer.score(np.asarray(images), prompts))))
+    np.testing.assert_allclose(res.results.hpsv2_mean, manual, rtol=1e-5)

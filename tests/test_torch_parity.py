@@ -88,6 +88,154 @@ def test_clip_text_parity_gelu_variant():
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
+def test_clip_vision_parity(act):
+    """Vision tower vs transformers CLIPVisionModelWithProjection (the last
+    offline-parity-testable model, VERDICT r2 #4): pooled+projected image
+    embeds, both activation variants, including the [0,1]->OPENAI-norm
+    preprocessing baked into our tower."""
+    import jax.numpy as jnp
+    from transformers import CLIPVisionConfig as HFConfig
+    from transformers import CLIPVisionModelWithProjection as HFModel
+
+    from sid_lsg_tpu.models.clip_vision import (
+        OPENAI_MEAN, OPENAI_STD, CLIPVisionConfig, CLIPVisionModel,
+        convert_hf_clip_vision,
+    )
+
+    cfg = CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, projection_dim=16,
+        hidden_act=act,
+    )
+    torch.manual_seed(0)
+    hf = HFModel(HFConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, projection_dim=16,
+        hidden_act=act, attention_dropout=0.0,
+    )).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = convert_hf_clip_vision(sd, cfg)
+    pixels01 = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    normed = (pixels01 - np.asarray(OPENAI_MEAN)) / np.asarray(OPENAI_STD)
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.as_tensor(
+            normed.transpose(0, 3, 1, 2).astype(np.float32)
+        )).image_embeds.numpy()
+    ours = np.asarray(CLIPVisionModel(cfg).apply({"params": params}, jnp.asarray(pixels01)))
+    np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_open_clip_converter_layout():
+    """convert_open_clip (visual.*/transformer.resblocks.* key layout) against
+    a synthetic open_clip-shaped state dict assembled from HF CLIP weights:
+    the converted trees must match the independently-gated HF converters
+    leaf-for-leaf (VERDICT r2 #4, second half)."""
+    import jax
+
+    from transformers import CLIPTextConfig as HFTextConfig
+    from transformers import CLIPTextModel as HFTextModel
+    from transformers import CLIPVisionConfig as HFVisConfig
+    from transformers import CLIPVisionModelWithProjection as HFVisModel
+
+    from sid_lsg_tpu.models.clip_vision import (
+        CLIPConfig, CLIPVisionConfig, convert_hf_clip_vision, convert_open_clip,
+    )
+    from sid_lsg_tpu.models.configs import CLIPTextConfig
+    from sid_lsg_tpu.models.convert import convert_clip_text
+
+    vis_cfg = CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, projection_dim=16,
+        hidden_act="gelu",
+    )
+    txt_cfg = CLIPTextConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=8,
+        hidden_act="gelu",
+    )
+    cc = CLIPConfig(vision=vis_cfg, text=txt_cfg, projection_dim=16)
+    torch.manual_seed(2)
+    hf_v = HFVisModel(HFVisConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, projection_dim=16,
+        hidden_act="gelu", attention_dropout=0.0,
+    )).eval()
+    hf_t = HFTextModel(HFTextConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=8,
+        hidden_act="gelu", attention_dropout=0.0,
+    )).eval()
+    sd_v = {k: v.detach().numpy() for k, v in hf_v.state_dict().items()}
+    sd_t = {k: v.detach().numpy() for k, v in hf_t.state_dict().items()}
+
+    # Assemble the open_clip-shaped dict from the same weights.
+    oc = {}
+    oc["visual.conv1.weight"] = sd_v["vision_model.embeddings.patch_embedding.weight"]
+    oc["visual.class_embedding"] = sd_v["vision_model.embeddings.class_embedding"]
+    oc["visual.positional_embedding"] = sd_v["vision_model.embeddings.position_embedding.weight"]
+    oc["visual.ln_pre.weight"] = sd_v["vision_model.pre_layrnorm.weight"]
+    oc["visual.ln_pre.bias"] = sd_v["vision_model.pre_layrnorm.bias"]
+    oc["visual.ln_post.weight"] = sd_v["vision_model.post_layernorm.weight"]
+    oc["visual.ln_post.bias"] = sd_v["vision_model.post_layernorm.bias"]
+    oc["visual.proj"] = sd_v["visual_projection.weight"].T
+    for i in range(2):
+        hp = f"vision_model.encoder.layers.{i}"
+        op = f"visual.transformer.resblocks.{i}"
+        oc[f"{op}.ln_1.weight"] = sd_v[f"{hp}.layer_norm1.weight"]
+        oc[f"{op}.ln_1.bias"] = sd_v[f"{hp}.layer_norm1.bias"]
+        oc[f"{op}.ln_2.weight"] = sd_v[f"{hp}.layer_norm2.weight"]
+        oc[f"{op}.ln_2.bias"] = sd_v[f"{hp}.layer_norm2.bias"]
+        oc[f"{op}.attn.in_proj_weight"] = np.concatenate(
+            [sd_v[f"{hp}.self_attn.{n}_proj.weight"] for n in "qkv"], axis=0)
+        oc[f"{op}.attn.in_proj_bias"] = np.concatenate(
+            [sd_v[f"{hp}.self_attn.{n}_proj.bias"] for n in "qkv"], axis=0)
+        oc[f"{op}.attn.out_proj.weight"] = sd_v[f"{hp}.self_attn.out_proj.weight"]
+        oc[f"{op}.attn.out_proj.bias"] = sd_v[f"{hp}.self_attn.out_proj.bias"]
+        oc[f"{op}.mlp.c_fc.weight"] = sd_v[f"{hp}.mlp.fc1.weight"]
+        oc[f"{op}.mlp.c_fc.bias"] = sd_v[f"{hp}.mlp.fc1.bias"]
+        oc[f"{op}.mlp.c_proj.weight"] = sd_v[f"{hp}.mlp.fc2.weight"]
+        oc[f"{op}.mlp.c_proj.bias"] = sd_v[f"{hp}.mlp.fc2.bias"]
+    oc["token_embedding.weight"] = sd_t["text_model.embeddings.token_embedding.weight"]
+    oc["positional_embedding"] = sd_t["text_model.embeddings.position_embedding.weight"]
+    oc["ln_final.weight"] = sd_t["text_model.final_layer_norm.weight"]
+    oc["ln_final.bias"] = sd_t["text_model.final_layer_norm.bias"]
+    oc["text_projection"] = np.random.RandomState(3).randn(16, 16).astype(np.float32)
+    for i in range(2):
+        hp = f"text_model.encoder.layers.{i}"
+        op = f"transformer.resblocks.{i}"
+        oc[f"{op}.ln_1.weight"] = sd_t[f"{hp}.layer_norm1.weight"]
+        oc[f"{op}.ln_1.bias"] = sd_t[f"{hp}.layer_norm1.bias"]
+        oc[f"{op}.ln_2.weight"] = sd_t[f"{hp}.layer_norm2.weight"]
+        oc[f"{op}.ln_2.bias"] = sd_t[f"{hp}.layer_norm2.bias"]
+        oc[f"{op}.attn.in_proj_weight"] = np.concatenate(
+            [sd_t[f"{hp}.self_attn.{n}_proj.weight"] for n in "qkv"], axis=0)
+        oc[f"{op}.attn.in_proj_bias"] = np.concatenate(
+            [sd_t[f"{hp}.self_attn.{n}_proj.bias"] for n in "qkv"], axis=0)
+        oc[f"{op}.attn.out_proj.weight"] = sd_t[f"{hp}.self_attn.out_proj.weight"]
+        oc[f"{op}.attn.out_proj.bias"] = sd_t[f"{hp}.self_attn.out_proj.bias"]
+        oc[f"{op}.mlp.c_fc.weight"] = sd_t[f"{hp}.mlp.fc1.weight"]
+        oc[f"{op}.mlp.c_fc.bias"] = sd_t[f"{hp}.mlp.fc1.bias"]
+        oc[f"{op}.mlp.c_proj.weight"] = sd_t[f"{hp}.mlp.fc2.weight"]
+        oc[f"{op}.mlp.c_proj.bias"] = sd_t[f"{hp}.mlp.fc2.bias"]
+
+    params = convert_open_clip(oc, cc)
+    ref_vision = convert_hf_clip_vision(sd_v, vis_cfg)
+    ref_text = convert_clip_text(sd_t, txt_cfg)
+
+    def assert_tree_equal(a, b, tag):
+        la, lb = jax.tree_util.tree_leaves_with_path(a), jax.tree_util.tree_leaves_with_path(b)
+        assert [p for p, _ in la] == [p for p, _ in lb], f"{tag}: tree structure differs"
+        for (path, x), (_, y) in zip(la, lb):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{tag}{jax.tree_util.keystr(path)}"
+            )
+
+    assert_tree_equal(params["vision"], ref_vision, "vision")
+    assert_tree_equal(params["text"], ref_text, "text")
+    np.testing.assert_array_equal(params["text_projection"], oc["text_projection"])
+
+
 def test_hf_tokenizer_parity_if_vocab_available():
     """Our BPE tokenizer == HF CLIPTokenizer when a vocab is present locally."""
     from transformers.models.clip.tokenization_clip import CLIPTokenizer as HFTok
