@@ -133,11 +133,13 @@ def bench_distill():
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
     state, metrics = compiled(state, teacher, batch, rng)
-    jax.block_until_ready(metrics)  # warmup
+    # Block on the whole output (loss scalars alone resolve at the end of the
+    # forwards; backward/update work would drain outside the timed window).
+    jax.block_until_ready((state, metrics))  # warmup
     t0 = time.perf_counter()
     for _ in range(TRAIN_ITERS):
         state, metrics = compiled(state, teacher, batch, rng)
-    jax.block_until_ready(metrics)
+    jax.block_until_ready((state, metrics))
     dt = (time.perf_counter() - t0) / TRAIN_ITERS
 
     img_per_sec = TRAIN_MB / dt

@@ -46,7 +46,8 @@ def main():
     ap.add_argument("--lowmem", action="store_true", help="bf16/no-mu Adam state")
     ap.add_argument("--remat", type=int, default=1)
     ap.add_argument("--remat-policy", default="full",
-                    choices=["full", "dots", "dots_no_batch", "attn", "attn_offload"])
+                    choices=["full", "dots", "dots_no_batch", "attn",
+                             "attn_offload", "flash"])
     ap.add_argument("--kappa", type=float, default=1.5)
     ap.add_argument("--adv", type=float, default=0.0,
                     help="SiDA adversarial weight (D and G); 0 = plain SiD")
@@ -153,13 +154,17 @@ def main():
         return
 
     state, metrics = compiled(state, teacher, batch, rng)
-    jax.block_until_ready(metrics)  # warmup
+    # Block on the WHOLE output, not just metrics: the loss scalars come out
+    # of the forward pass, so blocking on them alone lets backward/update
+    # work (and host-offload streams under remat_policy=attn_offload) drain
+    # outside the timed window — measured 10x-too-fast fiction.
+    jax.block_until_ready((state, metrics))  # warmup
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = compiled(state, teacher, batch, rng)
-    jax.block_until_ready(metrics)
+    jax.block_until_ready((state, metrics))
     dt = (time.perf_counter() - t0) / args.iters
     if args.profile_dir:
         jax.profiler.stop_trace()

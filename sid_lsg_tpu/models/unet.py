@@ -69,6 +69,13 @@ class UNet2DCondition(nn.Module):
                 "dots": jax.checkpoint_policies.checkpoint_dots,
                 "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 "attn": jax.checkpoint_policies.save_only_these_names("attn_out"),
+                # Save the flash kernel's own outputs (out + row logsumexp):
+                # the custom-VJP's residual rebuild then stops at the kernel
+                # boundary — projections recompute, the O(S) kernel does NOT
+                # re-run (it is ~12% of the full-width step under 'full').
+                # Memory cost ~= 'attn' (same element count + a (B,H,S) lse).
+                "flash": jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse"),
                 "attn_offload": jax.checkpoint_policies.save_and_offload_only_these_names(
                     names_which_can_be_saved=[],
                     names_which_can_be_offloaded=["attn_out"],

@@ -407,6 +407,8 @@ def _attention_pallas(q, k, v, scale, causal, block_q=None, block_k=None):
     if causal:
         # Causal path (CLIP text, S=77) is tiny; XLA handles it.
         return _attention_ref(q, k, v, scale, causal)
+    from jax.ad_checkpoint import checkpoint_name
+
     d = q.shape[3]
     default_q, default_k = _pick_blocks(d)
     block_q = block_q or default_q
@@ -421,6 +423,15 @@ def _attention_pallas(q, k, v, scale, causal, block_q=None, block_k=None):
 
     def _fwd(q, k, v):
         out, lse = _flash_fwd(q, k, v, scale, block_q, block_k)
+        # Named for selective remat: under nn.remat, the custom-VJP re-runs
+        # this fwd to rebuild its residuals, so with policy 'full'/'attn'
+        # every flash forward executes TWICE (primal + recompute — measured
+        # ~12% of the full-width step, BENCH_NOTES round 3).  Policy 'flash'
+        # (models/unet.py) saves exactly these two kernel outputs; q/k/v
+        # residuals are rebuilt by the cheap projection recompute and the
+        # flash kernel itself drops out of the backward sweep.
+        out = checkpoint_name(out, "flash_out")
+        lse = checkpoint_name(lse, "flash_lse")
         return out, (q, k, v, out, lse)
 
     def _bwd(res, g):

@@ -166,3 +166,45 @@ def test_flash_attention_shard_mapped_parity():
         set_shard_mesh(None)
     np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g3), np.asarray(g3_ref), atol=5e-5, rtol=1e-3)
+
+
+def test_flash_remat_policy_skips_kernel_recompute():
+    """remat_policy='flash' saves the flash kernel's named outputs (out+lse),
+    so the backward sweep must NOT re-run the forward kernel: the grad jaxpr
+    contains exactly fwd+bwd pallas calls per attention (policy 'full' and
+    'attn' contain fwd+recompute+bwd — the round-2 'attn' wash, ~12% of the
+    full-width step; BENCH_NOTES round 3).  Trace-only: counts pallas_call
+    eqns, no kernel execution."""
+    import flax.linen as nn
+
+    from sid_lsg_tpu.models.layers import Transformer2D
+    from sid_lsg_tpu.ops import registry
+
+    registry.set_default_impl("pallas")
+    try:
+        x = jnp.zeros((1, 8, 8, 32))
+        ctx = jnp.zeros((1, 7, 32))
+        counts = {}
+        for policy_name in ("full", "flash"):
+            policy = {
+                "full": None,
+                "flash": jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse"),
+            }[policy_name]
+            mod = nn.remat(Transformer2D, policy=policy)(2, 16, name="t")
+            shapes = jax.eval_shape(lambda m=mod: m.init(jax.random.PRNGKey(0), x, ctx))
+            params = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+            def loss(p, x_, m=mod):
+                return jnp.sum(m.apply(p, x_, ctx) ** 2)
+
+            counts[policy_name] = str(
+                jax.make_jaxpr(jax.grad(loss))(params, x)
+            ).count("pallas_call")
+    finally:
+        registry.set_default_impl("auto")
+    # 2 attention calls (self+cross): full = (fwd + recompute + bwd) * 2,
+    # flash = (fwd + bwd) * 2.
+    assert counts["full"] == 6, counts
+    assert counts["flash"] == 4, counts
