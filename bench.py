@@ -70,12 +70,12 @@ def bench_onestep():
         return jnp.clip((images.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
 
     out = onestep(unet_params, vae_params, latents, timesteps, emb)
-    jax.block_until_ready(out)  # warmup / compile
+    int(out[0, 0, 0, 0])  # warmup / compile; hard readback (see bench_distill)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = onestep(unet_params, vae_params, latents, timesteps, emb)
-    jax.block_until_ready(out)
+        int(out[0, 0, 0, 0])
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * ITERS / dt
@@ -96,7 +96,11 @@ def bench_distill():
     from sid_lsg_tpu.training.lora import apply_lora, init_lora
 
     ucfg = models.SD15.unet
-    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=True)
+    # remat_policy='flash' saves the flash kernels' own outputs so the O(S)
+    # attention kernel never re-runs in the backward sweep: measured -8.6%
+    # step time vs 'full' at this configuration (BENCH_NOTES round 3).
+    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=True,
+                                  remat_policy="flash")
     apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
 
     L, D = 77, ucfg.cross_attention_dim
@@ -132,14 +136,20 @@ def bench_distill():
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
+    # Per-step hard readback of an updated param element: through the
+    # tunneled runtime block_until_ready intermittently resolves early, and a
+    # loss scalar resolves at the end of the forwards — only a post-update
+    # value fetch bounds the WHOLE step (see scripts/bench_train_step.py).
+    def sync(st):
+        leaf = jax.tree_util.tree_leaves(st.params_G)[0]
+        return float(leaf.reshape(-1)[0])
+
     state, metrics = compiled(state, teacher, batch, rng)
-    # Block on the whole output (loss scalars alone resolve at the end of the
-    # forwards; backward/update work would drain outside the timed window).
-    jax.block_until_ready((state, metrics))  # warmup
+    sync(state)  # warmup
     t0 = time.perf_counter()
     for _ in range(TRAIN_ITERS):
         state, metrics = compiled(state, teacher, batch, rng)
-    jax.block_until_ready((state, metrics))
+        sync(state)
     dt = (time.perf_counter() - t0) / TRAIN_ITERS
 
     img_per_sec = TRAIN_MB / dt

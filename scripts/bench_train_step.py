@@ -153,18 +153,25 @@ def main():
         print(json.dumps(result))
         return
 
+    # Sync with a hard scalar READBACK of an UPDATED PARAMETER, not
+    # block_until_ready: through the tunneled runtime, block_until_ready
+    # intermittently resolves before the device work drains (one run measured
+    # a fictional 46.7 ms full-width step = 5.9 'MFU'), and a loss scalar
+    # resolves at the end of the forwards, leaving backward/update outside
+    # the window.  A value fetch of a post-update param element cannot lie;
+    # the ~1 ms per-step readback cost is accepted for honesty.
+    def sync(st):
+        leaf = jax.tree_util.tree_leaves(st.params_G)[0]
+        return float(leaf.reshape(-1)[0])
+
     state, metrics = compiled(state, teacher, batch, rng)
-    # Block on the WHOLE output, not just metrics: the loss scalars come out
-    # of the forward pass, so blocking on them alone lets backward/update
-    # work (and host-offload streams under remat_policy=attn_offload) drain
-    # outside the timed window — measured 10x-too-fast fiction.
-    jax.block_until_ready((state, metrics))  # warmup
+    sync(state)  # warmup
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = compiled(state, teacher, batch, rng)
-    jax.block_until_ready((state, metrics))
+        sync(state)
     dt = (time.perf_counter() - t0) / args.iters
     if args.profile_dir:
         jax.profiler.stop_trace()
