@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--kappa", type=float, default=1.5)
     ap.add_argument("--lora", action="store_true",
                     help="LoRA psi (default: FULL psi — the fsdp proof target)")
+    ap.add_argument("--remat-policy", default="full",
+                    choices=["full", "dots", "dots_no_batch", "attn",
+                             "attn_offload", "flash"])
     ap.add_argument("--lowmem", action="store_true")
     ap.add_argument("--teacher-bf16", action="store_true")
     ap.add_argument("--eval", action="store_true",
@@ -81,7 +84,8 @@ def main():
     set_shard_mesh(mesh)
 
     ucfg = models.scaled_unet_config(models.SD15.unet, args.width)
-    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=True)
+    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=True,
+                                  remat_policy=args.remat_policy)
     apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
 
     L, D = 77, ucfg.cross_attention_dim
@@ -149,6 +153,7 @@ def main():
         "full_psi": not args.lora,
         "lowmem": args.lowmem,
         "teacher_bf16": args.teacher_bf16,
+        "remat_policy": args.remat_policy,
     })
 
 

@@ -91,15 +91,23 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         s = jax.lax.dot_general(
             qv, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (Bq, Bk) f32 accumulators
-        # Mask out kv padding for the final k block.
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        s = jnp.where(col < sk, s, NEG_INF)
+        if sk_pad != sk:
+            # Mask out kv padding (reaches only the final k block).  Elided
+            # at trace time when sk is block-aligned — true for every SD
+            # self-attention level — because the iota+compare+select is 2-3
+            # full VPU passes over the logits tile in a VPU-bound kernel
+            # (BENCH_NOTES.md round 3).
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            s = jnp.where(col < sk, s, NEG_INF)
 
         m_prev = m_s[:, 0:1]  # (Bq, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)  # (Bq, Bk)
         alpha = jnp.exp(m_prev - m_new)  # (Bq, 1)
+        # (Computing sum(p) as an extra p @ ones MXU matmul instead of this
+        # VPU lane reduction was measured 12% SLOWER fwd — Mosaic schedules
+        # the matmul serially, it does not overlap MXU/VPU; BENCH_NOTES r3.)
         l_new = alpha * l_s[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
         acc[:] = acc[:] * alpha + jax.lax.dot_general(
             p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
@@ -192,10 +200,17 @@ def _flash_bwd_fused(q, k, v, out, lse, g, scale, block_q, block_k):
         gv = g_ref[0]
         s = jax.lax.dot_general(qv, kv, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-        p = jnp.where((col < sk) & (row < sq),
-                      jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
+        p = jnp.exp(s - lse_ref[0, 0][:, None])
+        if sk_pad != sk or sq_pad != sq:
+            # Padding mask, elided at trace time for block-aligned shapes
+            # (every SD self-attention level).  Strictly the gradients are
+            # exact without it — padded k/v/g rows are zero, so every
+            # spurious p entry meets a zero operand or a sliced-away output
+            # — but it is kept under padding as cheap insurance against
+            # non-finite stragglers (exp of unnormalised logits).
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            p = jnp.where((col < sk) & (row < sq), p, 0.0)
         acc_v[:] += jax.lax.dot_general(p.astype(gv.dtype), gv, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(gv, vv, (((1,), (1,)), ((), ())),
@@ -206,6 +221,10 @@ def _flash_bwd_fused(q, k, v, out, lse, g, scale, block_q, block_k):
         dq_ref[0, 0] = jax.lax.dot_general(ds.astype(kv.dtype), kv,
                                            (((1,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
+        # dq partials are laid out (num_k, bh, S, D) — k-index OUTERMOST — so
+        # the XLA cross-k reduction outside streams contiguous arrays
+        # (reducing a middle axis ran at ~220 GB/s, ~2% of the train step;
+        # profiled round 3).
 
         @pl.when(qi == num_q - 1)
         def _():
@@ -224,13 +243,13 @@ def _flash_bwd_fused(q, k, v, out, lse, g, scale, block_q, block_k):
             pl.BlockSpec((1, 8, block_q), lambda b_, ki, qi: (b_, 0, qi), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, ki, qi: (b_, ki, qi, 0),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, ki, qi: (ki, b_, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, num_k, sq_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((num_k, bh, sq_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, sk_pad, d), k.dtype),
             jax.ShapeDtypeStruct((bh, sk_pad, d), v.dtype),
         ),
@@ -240,7 +259,7 @@ def _flash_bwd_fused(q, k, v, out, lse, g, scale, block_q, block_k):
         ],
     )(q_p, k_p, v_p, g_p, lse8, delta8)
 
-    dq = jnp.sum(dq_part, axis=1).astype(q.dtype)
+    dq = jnp.sum(dq_part, axis=0).astype(q.dtype)
     unpad = lambda x, s: x.reshape(b, h, -1, d)[:, :, :s, :]
     return unpad(dq, sq), unpad(dk, sk), unpad(dv, sk)
 
@@ -290,8 +309,10 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
         gv = g_ref[0]
         s = jax.lax.dot_general(qv, kv, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        p = jnp.where(col < sk, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
+        p = jnp.exp(s - lse_ref[0, 0][:, None])
+        if sk_pad != sk:  # elided for block-aligned shapes (see fused bwd)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            p = jnp.where(col < sk, p, 0.0)
         dp = jax.lax.dot_general(gv, vv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - d_ref[0, 0][:, None]) * scale
@@ -335,9 +356,11 @@ def _flash_bwd(q, k, v, out, lse, g, scale, block_q, block_k):
         ki = pl.program_id(1)
         s = jax.lax.dot_general(qv, kv, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-        p = jnp.where((col < sk) & (row < sq), jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
+        p = jnp.exp(s - lse_ref[0, 0][:, None])
+        if sk_pad != sk or sq_pad != sq:  # elided when block-aligned (see fused bwd)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            p = jnp.where((col < sk) & (row < sq), p, 0.0)
         dv_blk = jax.lax.dot_general(p.astype(gv.dtype), gv, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)  # (Bk, D)
         acc_v[:] += dv_blk

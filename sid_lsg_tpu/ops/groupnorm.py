@@ -29,15 +29,38 @@ from .registry import impl_for, register_op
 def _group_norm_ref(x, gamma, beta, num_groups, eps, silu):
     b, h, w, c = x.shape
     cg = c // num_groups
-    xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, cg)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = jnp.square(xf - mean).mean(axis=(1, 3), keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(b, h, w, c)
-    y = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    xf = x.astype(jnp.float32).reshape(b, h * w, c)
+    # Statistics are computed per-CHANNEL first (reduce over hw only), then
+    # combined channel->group on the tiny (b, c) tensor.  The direct
+    # formulation — reshape to (b, hw, g, cg) and reduce axes (1, 3) — makes
+    # the activation-sized reduction's minor dim the cg-channel sub-group
+    # (cg=10/20/40 for SD's c=320/640/1280 at 32 groups): a lane-strided,
+    # non-128-aligned reduce that TPU codegen runs at 75-122 GB/s (~100
+    # ms/step across the full-width train step, profiled round 3).  Reducing
+    # over hw keeps C on the lanes (dense vector adds); the cg-combine then
+    # touches only (b, c) elements.  One-pass moments (E[x^2]-E[x]^2, the
+    # flax use_fast_variance trick) with f32 accumulation; same math, so the
+    # torch-GroupNorm parity gates pin the numerics.
+    ch_sum = jnp.sum(xf, axis=1)  # (b, c) — lane-preserving reduce
+    ch_sq = jnp.sum(jnp.square(xf), axis=1)
+    g_sum = jnp.sum(ch_sum.reshape(b, num_groups, cg), axis=2)  # tiny
+    g_sq = jnp.sum(ch_sq.reshape(b, num_groups, cg), axis=2)
+    n = jnp.float32(h * w * cg)
+    mean_g = g_sum / n
+    var_g = jnp.maximum(g_sq / n - jnp.square(mean_g), 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # Fold group stats + affine into per-channel scale/bias (tiny tensors),
+    # leaving ONE fused elementwise sweep over the activation.
+    gamma32 = gamma.astype(jnp.float32)
+    scale_c = jnp.repeat(rstd_g, cg, axis=1) * gamma32[None]  # (b, c)
+    bias_c = (
+        beta.astype(jnp.float32)[None]
+        - jnp.repeat(mean_g * rstd_g, cg, axis=1) * gamma32[None]
+    )
+    y = xf * scale_c[:, None, :] + bias_c[:, None, :]
     if silu:
         y = y * jax.nn.sigmoid(y)
-    return y.astype(x.dtype)
+    return y.astype(x.dtype).reshape(b, h, w, c)
 
 
 register_op("group_norm", "ref", _group_norm_ref)
