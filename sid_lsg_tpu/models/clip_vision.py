@@ -30,6 +30,36 @@ OPENAI_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
+def openclip_preprocess_uint8(images_uint8, size: int) -> np.ndarray:
+    """open_clip's inference image transform, exactly, on host.
+
+    torchvision ``Resize(size)`` (shorter side -> ``size``, PIL bicubic — a
+    support-scaled, antialiased convolution resampler) followed by
+    ``CenterCrop(size)``; returns float32 pixels in [0, 1].  This is the
+    preprocessing the hpsv2 package applies before scoring
+    (``/root/reference/generate_hpsv2.py:190-192`` scores PIL images through
+    ``hpsv2.score``); the in-graph ``jax.image.resize`` bicubic is NOT
+    antialiased on downscale and measurably disagrees with it, so host-fed
+    uint8 images take this path (TODO.md round-3 closure).
+    """
+    from PIL import Image
+
+    arr = np.asarray(images_uint8)
+    out = np.empty((len(arr), size, size, 3), np.float32)
+    for i, img in enumerate(arr):
+        im = Image.fromarray(img)
+        w, h = im.size
+        if w <= h:  # torchvision _compute_resized_output_size (int truncation)
+            nw, nh = size, max(int(size * h / w), size)
+        else:
+            nh, nw = size, max(int(size * w / h), size)
+        im = im.resize((nw, nh), Image.BICUBIC)
+        left, top = (nw - size) // 2, (nh - size) // 2
+        im = im.crop((left, top, left + size, top + size))
+        out[i] = np.asarray(im, np.float32) / 255.0
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class CLIPVisionConfig:
     image_size: int = 224
@@ -240,7 +270,20 @@ class CLIPScorer:
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
     def image_features(self, images_uint8: np.ndarray) -> jnp.ndarray:
-        return self._jimg(self.params, jnp.asarray(images_uint8).astype(jnp.float32) / 255.0)
+        """uint8 HWC images -> unit-norm projected features.
+
+        Host uint8 inputs whose spatial size differs from the tower's are
+        preprocessed with the exact open_clip transform (PIL bicubic
+        antialiased short-side resize + center crop) rather than the
+        in-graph jax.image.resize, matching hpsv2/open_clip scoring.
+        """
+        images = np.asarray(images_uint8)
+        size = self.config.vision.image_size
+        if images.dtype == np.uint8 and images.shape[1:3] != (size, size):
+            pixels01 = openclip_preprocess_uint8(images, size)
+        else:
+            pixels01 = images.astype(np.float32) / 255.0
+        return self._jimg(self.params, jnp.asarray(pixels01))
 
     def text_features(self, prompts: Sequence[str]) -> jnp.ndarray:
         return self._jtxt(self.params, jnp.asarray(self.tokenizer(list(prompts))))

@@ -1,5 +1,6 @@
 """Eval-stack tests: FID math, feature stats, metric plumbing, P&R, CLIP, Inception."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -137,6 +138,47 @@ def test_clip_scorer_tiny():
     assert np.all(np.abs(s) <= 1.0 + 1e-5)
     s2 = np.asarray(scorer.score(imgs, ["a cat", "a dog"]))
     np.testing.assert_allclose(s, s2)
+
+
+def test_openclip_preprocess_matches_pil():
+    """openclip_preprocess_uint8 == PIL bicubic short-side resize + center
+    crop (the hpsv2/open_clip inference transform), not jax.image.resize."""
+    from PIL import Image
+
+    from sid_lsg_tpu.models.clip_vision import openclip_preprocess_uint8
+
+    rng = np.random.RandomState(0)
+    # Square: resize only.
+    sq = rng.randint(0, 256, (1, 64, 64, 3), np.uint8)
+    got = openclip_preprocess_uint8(sq, 16)
+    want = np.asarray(
+        Image.fromarray(sq[0]).resize((16, 16), Image.BICUBIC), np.float32
+    ) / 255.0
+    np.testing.assert_allclose(got[0], want, atol=1e-6)
+    # Non-square: shorter side -> size, center crop the longer.
+    rect = rng.randint(0, 256, (1, 48, 96, 3), np.uint8)  # h=48, w=96
+    got = openclip_preprocess_uint8(rect, 16)
+    im = Image.fromarray(rect[0]).resize((32, 16), Image.BICUBIC)  # (w=32,h=16)
+    want = np.asarray(im.crop((8, 0, 24, 16)), np.float32) / 255.0
+    assert got.shape == (1, 16, 16, 3)
+    np.testing.assert_allclose(got[0], want, atol=1e-6)
+
+
+def test_clip_scorer_routes_host_resize_through_openclip_transform():
+    """Scoring non-native-size uint8 images must use the PIL transform (the
+    in-graph bicubic is not antialiased and diverges from hpsv2 scoring)."""
+    from sid_lsg_tpu.models.clip_vision import (
+        TINY_CLIP, CLIPScorer, openclip_preprocess_uint8,
+    )
+
+    scorer = CLIPScorer(TINY_CLIP)
+    size = TINY_CLIP.vision.image_size
+    imgs = np.random.RandomState(1).randint(0, 256, (2, 4 * size, 4 * size, 3), np.uint8)
+    via_score = np.asarray(scorer.image_features(imgs))
+    direct = np.asarray(
+        scorer._jimg(scorer.params, jnp.asarray(openclip_preprocess_uint8(imgs, size)))
+    )
+    np.testing.assert_allclose(via_score, direct, atol=1e-6)
 
 
 def test_inception_features_shape():
