@@ -38,6 +38,9 @@ def device_mem_gb():
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sd15",
+                    choices=["sd15", "sd21base", "tiny"],
+                    help="base architecture preset (both production teachers)")
     ap.add_argument("--width", type=float, default=1.0, help="channel multiplier vs SD1.5")
     ap.add_argument("--mb", type=int, default=2, help="microbatch")
     ap.add_argument("--rounds", type=int, default=1, help="accumulation rounds")
@@ -69,7 +72,9 @@ def main():
     from sid_lsg_tpu.training.lora import apply_lora, init_lora
 
     enable_compile_cache()
-    ucfg = models.scaled_unet_config(models.SD15.unet, args.width)
+    base = {"sd15": models.SD15, "sd21base": models.SD21_BASE,
+            "tiny": models.TINY}[args.model]
+    ucfg = models.scaled_unet_config(base.unet, args.width)
     unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=bool(args.remat),
                                   remat_policy=args.remat_policy)
     apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
@@ -135,6 +140,7 @@ def main():
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
     result = {
+        "model": args.model,
         "width": args.width,
         "params_m": round(n_params / 1e6, 1),
         "mb": args.mb,
