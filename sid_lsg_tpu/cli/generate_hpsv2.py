@@ -87,14 +87,18 @@ def score_images(outdir: str, hps_weights: Optional[str]) -> Dict[str, float]:
 @click.option("--subdirs", is_flag=True)
 @click.option("--seeds", type=str, default="0-99", show_default=True)
 @click.option("--batch", "max_batch_size", type=click.IntRange(min=1), default=16, show_default=True)
+@click.option("--num", "max_images", help="Max images per style (reference "
+              "generate_hpsv2.py:99 '--num')", type=click.IntRange(min=1),
+              default=None)
 @click.option("--init_timestep", type=click.IntRange(0, 999), default=625, show_default=True)
 @click.option("--repo_id", type=str, default="sd15", show_default=True)
 @click.option("--prompts_json", help="Offline {style: [prompts]} file", type=str, default=None)
 @click.option("--hps_weights", help="HPSv2 (open_clip ViT-H) weights for offline scoring", type=str, default=None)
 @click.option("--use_bf16", type=bool, default=True, show_default=True)
 @click.option("--skip_eval", type=bool, default=False, show_default=True)
-def main(network_path, outdir, subdirs, seeds, max_batch_size, init_timestep,
-         repo_id, prompts_json, hps_weights, use_bf16, skip_eval) -> None:
+def main(network_path, outdir, subdirs, seeds, max_batch_size, max_images,
+         init_timestep, repo_id, prompts_json, hps_weights, use_bf16,
+         skip_eval) -> None:
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -104,6 +108,8 @@ def main(network_path, outdir, subdirs, seeds, max_batch_size, init_timestep,
     runtime.init_distributed()
     all_prompts = load_benchmark_prompts(prompts_json)
     seed_list = parse_int_list(seeds)
+    if max_images is not None:  # global cap, before host striding
+        seed_list = seed_list[:max_images]
     pipe = SDPipeline.from_pretrained(
         repo_id, dtype=jnp.bfloat16 if use_bf16 else jnp.float32
     )
