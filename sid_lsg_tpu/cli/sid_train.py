@@ -33,6 +33,12 @@ from ..utils.util import Logger, make_run_dir
 @click.option("--batch-micro", "batch_micro", help="Global batch per accumulation round", type=int, default=8, show_default=True)
 @click.option("--glr", help="Generator learning rate", type=float, default=1e-6, show_default=True)
 @click.option("--lr", help="Fake-score learning rate", type=float, default=1e-6, show_default=True)
+@click.option("--optimizer", type=click.Choice(["adam", "adamw"]), default="adam",
+              show_default=True, help="reference sid_train.py:155")
+@click.option("--weight_decay", type=float, default=0.01, show_default=True,
+              help="AdamW decoupled decay (only with --optimizer adamw)")
+@click.option("--nosubdir", is_flag=True,
+              help="Run directly in --outdir (reference sid_train.py:111)")
 @click.option("--ema", "ema_halflife_kimg", help="EMA half-life (kimg)", type=float, default=500, show_default=True)
 @click.option("--tick", "kimg_per_tick", help="Progress interval (kimg)", type=int, default=50, show_default=True)
 @click.option("--snap", "snapshot_ticks", help="Snapshot interval (ticks)", type=int, default=50, show_default=True)
@@ -95,6 +101,8 @@ def main(**opts) -> None:
         microbatch=opts["batch_micro"],
         glr=opts["glr"],
         lr=opts["lr"],
+        optimizer=opts["optimizer"],
+        weight_decay=opts["weight_decay"],
         cfg_train_fake=opts["cfg_train_fake"],
         cfg_eval_fake=opts["cfg_eval_fake"],
         cfg_eval_real=opts["cfg_eval_real"],
@@ -141,14 +149,20 @@ def main(**opts) -> None:
     # Host 0 allocates the numbered run dir; other hosts (shared filesystem)
     # resolve the same path after the barrier — orbax multi-host saves need
     # every process to address one directory.
-    if runtime.get_process_index() == 0:
-        cfg.run_dir = make_run_dir(opts["outdir"], desc)
-    runtime.sync_hosts("run-dir")
-    if runtime.get_process_index() != 0:
-        candidates = sorted(
-            d for d in os.listdir(opts["outdir"]) if d.endswith(f"-{desc}")
-        )
-        cfg.run_dir = os.path.join(opts["outdir"], candidates[-1])
+    if opts["nosubdir"]:
+        cfg.run_dir = opts["outdir"]
+        if runtime.get_process_index() == 0:
+            os.makedirs(cfg.run_dir, exist_ok=True)
+        runtime.sync_hosts("run-dir")
+    else:
+        if runtime.get_process_index() == 0:
+            cfg.run_dir = make_run_dir(opts["outdir"], desc)
+        runtime.sync_hosts("run-dir")
+        if runtime.get_process_index() != 0:
+            candidates = sorted(
+                d for d in os.listdir(opts["outdir"]) if d.endswith(f"-{desc}")
+            )
+            cfg.run_dir = os.path.join(opts["outdir"], candidates[-1])
     logger = Logger(
         os.path.join(cfg.run_dir, "log.txt")
         if runtime.get_process_index() == 0

@@ -56,6 +56,8 @@ class TrainConfig:
     glr: float = 1e-6
     lr: float = 1e-6
     adam_eps: float = 1e-8
+    optimizer: str = "adam"  # 'adam' | 'adamw' (reference sid_train.py:155)
+    weight_decay: float = 0.01  # applied only when optimizer == 'adamw'
     # LSG guidance scales.
     cfg_train_fake: float = 1.0
     cfg_eval_fake: float = 1.0
@@ -195,11 +197,14 @@ class Trainer:
             (lambda p, x, t, c: unet.apply({"params": p}, x, t, c, encoder_only=True))
             if self.dcfg.adversarial else None
         )
+        wd = cfg.weight_decay if cfg.optimizer == "adamw" else 0.0
         self.opt_g = make_optimizer(lr=cfg.glr, eps=cfg.adam_eps,
-                                    low_mem_state=cfg.low_mem_opt)
+                                    low_mem_state=cfg.low_mem_opt,
+                                    weight_decay=wd)
         self.opt_fake = make_optimizer(
             lr=cfg.lr, eps=cfg.adam_eps,
             low_mem_state=cfg.low_mem_opt and not cfg.fake_score_use_lora,
+            weight_decay=wd,
         )
         fake_transform = None
         params_fake_init = None

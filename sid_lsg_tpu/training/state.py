@@ -105,13 +105,21 @@ def make_optimizer(
     eps: float = 1e-8,
     grad_clip_value: Optional[float] = None,
     low_mem_state: bool = False,
+    weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
+    """Adam(b1, b2) with NaN hygiene; ``weight_decay`` > 0 gives AdamW
+    (decoupled decay — reference ``--optimizer adamw``, sid_train.py:155)."""
     stages = [nan_to_num_grads()]
     if grad_clip_value is not None:
         stages.append(optax.clip(grad_clip_value))
     if low_mem_state:
         stages.append(scale_by_adam_low_mem(b1=b1, b2=b2, eps=eps))
+        if weight_decay:
+            stages.append(optax.add_decayed_weights(weight_decay))
         stages.append(optax.scale(-lr))
+    elif weight_decay:
+        stages.append(optax.adamw(learning_rate=lr, b1=b1, b2=b2, eps=eps,
+                                  weight_decay=weight_decay))
     else:
         stages.append(optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=eps))
     return optax.chain(*stages)

@@ -187,3 +187,32 @@ def test_low_mem_adam_matches_optax():
     for k in params:
         np.testing.assert_allclose(np.asarray(p[k]), np.asarray(want[k]),
                                    atol=5e-3, rtol=5e-3)
+
+
+def test_make_optimizer_adamw():
+    """weight_decay routes to decoupled AdamW (reference --optimizer adamw,
+    sid_train.py:155) in both the standard and low-mem paths."""
+    import optax
+
+    from sid_lsg_tpu.training.state import make_optimizer
+
+    params = {"w": jnp.array([0.5, -1.2, 3.0])}
+    g = {"w": jnp.array([0.1, -0.3, 0.02])}
+
+    opt = make_optimizer(lr=1e-2, weight_decay=0.01)
+    u, _ = opt.update(g, opt.init(params), params)
+    ref = optax.adamw(1e-2, b1=0.0, b2=0.999, eps=1e-8, weight_decay=0.01)
+    u_ref, _ = ref.update(g, ref.init(params), params)
+    np.testing.assert_allclose(np.asarray(u["w"]), np.asarray(u_ref["w"]),
+                               atol=1e-7, rtol=1e-6)
+
+    # Decay changes the update (vs plain adam) and pulls toward zero.
+    plain = make_optimizer(lr=1e-2)
+    u_plain, _ = plain.update(g, plain.init(params), params)
+    assert not np.allclose(np.asarray(u["w"]), np.asarray(u_plain["w"]))
+
+    # Low-mem + decay: decayed-weights stage applies before the lr scale.
+    lm = make_optimizer(lr=1e-2, low_mem_state=True, weight_decay=0.01)
+    u_lm, _ = lm.update(g, lm.init(params), params)
+    np.testing.assert_allclose(np.asarray(u_lm["w"]), np.asarray(u_ref["w"]),
+                               atol=5e-3, rtol=5e-3)
