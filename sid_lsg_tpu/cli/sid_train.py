@@ -66,7 +66,8 @@ from ..utils.util import Logger, make_run_dir
 @click.option("--adv_weight_g", "adv_weight_g", help="SiDA generator adversarial loss weight", type=float, default=0.0, show_default=True)
 @click.option("--gan_loss", type=click.Choice(["ns", "hinge"]), default="ns", show_default=True)
 @click.option("--adv_data", help="encode_latents npz of real latents+captions (SiDA)", type=str, default=None)
-@click.option("--remat-policy", "remat_policy", type=click.Choice(["full", "dots", "dots_no_batch", "attn", "attn_offload"]), default="full", show_default=True)
+@click.option("--remat-policy", "remat_policy", type=click.Choice(["full", "dots", "dots_no_batch", "attn", "attn_offload", "flash"]), default="full", show_default=True,
+              help="'flash' (save the attention kernel outputs; skips the backward-sweep kernel recompute) is the measured production recipe — BENCH_NOTES.md")
 @click.option("--lora_rank", type=int, default=4, show_default=True)
 @click.option("--fsdp", help="FSDP axis size (1 = pure data parallel)", type=int, default=1, show_default=True)
 @click.option("--resolution", type=int, default=512, show_default=True)
@@ -79,6 +80,10 @@ from ..utils.util import Logger, make_run_dir
 @click.option("--profile-dir", "profile_dir", help="Capture a jax profiler trace of a few steps here", type=str, default=None)
 @click.option("--dry-run", "dry_run", help="Print options and exit", is_flag=True)
 def main(**opts) -> None:
+    # Must precede the first JAX backend query (the process_index calls
+    # below): jax.distributed.initialize rejects an already-initialised
+    # backend.  No-op single-process.
+    runtime.init_distributed()
     dataset_name = (
         os.path.splitext(os.path.basename(opts["data"]))[0] if opts["data"] else "synthetic"
     )

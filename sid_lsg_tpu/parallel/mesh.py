@@ -136,17 +136,39 @@ def param_shardings(params: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
     return jax.tree_util.tree_map(leaf, params)
 
 
+def global_put(x: Any, sharding: NamedSharding) -> jax.Array:
+    """Place a host value onto a (possibly cross-process) sharding, treating
+    ``x`` as the GLOBAL value.
+
+    Single-process this is ``device_put``.  Multi-process, ``device_put`` onto
+    a non-addressable sharding performs a cross-process value-equality check
+    (an allgather per leaf) before accepting the value; ``
+    make_array_from_callback`` skips it — the caller guarantees every process
+    passes the same value (true by construction here: deterministic init,
+    shared checkpoints, fixed seeds)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def shard_params(params: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
-    """Place a (host or replicated) param pytree onto the mesh per the rules."""
+    """Place a (host or replicated) param pytree onto the mesh per the rules.
+
+    Multi-process contract: every process passes the same global values
+    (deterministic init or a shared checkpoint)."""
     shardings = param_shardings(params, mesh, min_size)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    return jax.tree_util.tree_map(global_put, params, shardings)
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place host batch arrays onto the mesh, axis-0-sharded over all devices."""
+    """Place host batch arrays onto the mesh, axis-0-sharded over all devices.
+
+    Multi-process: ``batch`` must be the same GLOBAL value on every process
+    (use ``shard_round_batch`` for per-process local slabs)."""
 
     def leaf(x: Any) -> Any:
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        return global_put(x, batch_sharding(mesh, np.ndim(x)))
 
     return jax.tree_util.tree_map(leaf, batch)
 
@@ -175,14 +197,47 @@ def batch_shardings(batch: Any, mesh: Mesh) -> dict:
     return {k: (rnd if k in ROUND_BATCH_KEYS else rep) for k in batch}
 
 
+def process_local_rows(global_rows: int) -> int:
+    """Rows of a (data-parallel) batch axis this process must produce.
+
+    Multi-host data loading is process-strided (each host feeds a disjoint
+    stream — reference ``InfiniteSampler`` rank striding); the per-process
+    slab is 1/process_count of the global batch axis."""
+    pc = jax.process_count()
+    if global_rows % pc != 0:
+        raise ValueError(
+            f"global batch axis {global_rows} not divisible by "
+            f"{pc} processes"
+        )
+    return global_rows // pc
+
+
 def shard_round_batch(batch: dict, mesh: Mesh) -> dict:
     """Explicitly place a train-step batch onto the mesh (reference parity:
     DDP's fixed batch placement, ``training/sid_training_loop.py:316-323``).
 
     Called by the Trainer on every ``next_batch()`` output so GSPMD never has
-    to infer batch placement from use sites."""
+    to infer batch placement from use sites.
+
+    Multi-process semantics: for the ``ROUND_BATCH_KEYS`` (microbatch-axis
+    data) each process passes its LOCAL slab — shape ``(A, mb_local, ...)``
+    with ``mb_local = process_local_rows(microbatch)`` — and the global array
+    is assembled across processes (each host's slab lands on its own chips;
+    ``device_put`` would instead demand identical global values on every
+    process, which per-host-disjoint data streams violate by design).
+    Replicated keys (``uncond_emb``) must be identical on every process."""
     shardings = batch_shardings(batch, mesh)
-    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        if k in ROUND_BATCH_KEYS:
+            out[k] = jax.make_array_from_process_local_data(
+                shardings[k], np.asarray(v)
+            )
+        else:
+            out[k] = global_put(v, shardings[k])
+    return out
 
 
 def activation_constraint(x: jax.Array, mesh: Optional[Mesh]) -> jax.Array:

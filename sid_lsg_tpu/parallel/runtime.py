@@ -34,8 +34,12 @@ def init_distributed(
 ) -> None:
     """Initialise the multi-host JAX runtime when running on >1 host.
 
-    Arguments default from env (JAX's own COORDINATOR_ADDRESS etc.).  Safe to
-    call unconditionally: single-process runs return immediately.
+    Arguments default from env: ``COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``,
+    ``JAX_PROCESS_ID`` — the launch-env contract replacing the reference's
+    torchrun ``RANK``/``WORLD_SIZE`` vars (``torch_utils/distributed.py:14-31``;
+    on cloud TPU pods JAX auto-detects all three and none are needed).  Safe to
+    call unconditionally: single-process runs return immediately.  Must run
+    before the first JAX backend query (CLIs call it at entry).
     """
     global _initialized
     if _initialized:
@@ -44,8 +48,12 @@ def init_distributed(
 
     _enable_cache()
     explicit = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
-    multi_env = os.environ.get("JAX_NUM_PROCESSES") or num_processes
+    multi_env = num_processes or os.environ.get("JAX_NUM_PROCESSES")
     if explicit or (multi_env and int(multi_env) > 1):
+        if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+            num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+        if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+            process_id = int(os.environ["JAX_PROCESS_ID"])
         jax.distributed.initialize(
             coordinator_address=explicit,
             num_processes=num_processes,

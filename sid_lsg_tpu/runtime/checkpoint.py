@@ -167,12 +167,33 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> dict:
     return tree
 
 
+def fetch_to_host(x: Any) -> np.ndarray:
+    """Materialise an array on the host, gathering cross-process shards.
+
+    Leaves that are fully addressable or fully replicated read locally;
+    fsdp-sharded leaves on a multi-host mesh need a collective gather — so on
+    >1 processes this must be called by EVERY process (even when only host 0
+    writes the result), or the gather deadlocks."""
+    if isinstance(x, jax.Array) and not (
+        x.is_fully_addressable or x.is_fully_replicated
+    ):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def export_generator(params: dict, path: str) -> None:
     """EMA generator params -> one safetensors file with '/'-joined keys
-    (the portable snapshot replacing the reference's code-carrying pickles)."""
+    (the portable snapshot replacing the reference's code-carrying pickles).
+
+    Collective on multi-host meshes (see ``fetch_to_host``): every process
+    must call it; only process 0 writes the file."""
     from safetensors.numpy import save_file
 
-    host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    host = jax.tree_util.tree_map(fetch_to_host, params)
+    if jax.process_index() != 0:
+        return
     tmp = path + ".tmp"
     save_file(_flatten(host), tmp)
     os.replace(tmp, path)  # atomic, like reference dnnlib/util.py:482-484

@@ -12,9 +12,24 @@ caches, sid_training_loop.py:240-243.)
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _enabled = False
+
+
+def host_tag() -> str:
+    """Fingerprint of this host's CPU features (stable across boots)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
 
 
 def enable(cache_dir: str | None = None) -> None:
@@ -27,6 +42,15 @@ def enable(cache_dir: str | None = None) -> None:
         "SIDLSG_COMPILE_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "sid_lsg_tpu", "xla"),
     )
+    # XLA:CPU cache entries are machine-code AOT results: loading one
+    # compiled on a different box fails a CPU-feature check and silently
+    # recompiles (observed after a driver box swap — every "cache hit" was a
+    # multi-minute recompile, which also re-opens the multi-process Gloo
+    # rendezvous race, tests/test_multiprocess.py).  Partition the CPU cache
+    # by host fingerprint; TPU executables are portable and stay shared.
+    platforms = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+    if platforms == "cpu":
+        cache_dir = os.path.join(cache_dir, f"host-{host_tag()}")
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

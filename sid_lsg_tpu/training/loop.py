@@ -165,6 +165,14 @@ class Trainer:
                 f"{self.mesh.size} (dp x fsdp) — pick a multiple"
             )
         self.a_rounds = cfg.batch_size // cfg.microbatch
+        # Per-process data slab: multi-host loading is process-strided
+        # (disjoint streams per host, reference InfiniteSampler semantics), so
+        # each host produces microbatch/process_count rows per round;
+        # shard_round_batch assembles them into the global batch.  Equals
+        # cfg.microbatch in the common single-process case.
+        from ..parallel import process_local_rows
+
+        self.mb_local = process_local_rows(cfg.microbatch)
         self.dcfg = DistillConfig(
             latent_size=sd_cfg.unet.sample_size,
             latent_channels=sd_cfg.unet.in_channels,
@@ -280,7 +288,7 @@ class Trainer:
         else:  # offline smoke: synthetic prompts
             dataset = PromptDataset([f"prompt {i}" for i in range(1024)], name="synthetic")
         self.prompts = InfinitePromptIterator(
-            dataset, cfg.microbatch, seed=cfg.seed,
+            dataset, self.mb_local, seed=cfg.seed,
             process_index=runtime.get_process_index(),
             process_count=runtime.get_process_count(),
         )
@@ -307,7 +315,7 @@ class Trainer:
                         f"latent size {self.dcfg.latent_size}"
                     )
                 self.latents = InfiniteLatentIterator(
-                    lat_ds, cfg.microbatch, seed=cfg.seed + 2,
+                    lat_ds, self.mb_local, seed=cfg.seed + 2,
                     process_index=runtime.get_process_index(),
                     process_count=runtime.get_process_count(),
                 )
@@ -318,6 +326,8 @@ class Trainer:
                 )
                 self._adv_rng = np.random.RandomState(cfg.seed + 2)
         self.ckpt_mgr = None
+        self._eval_jits: dict = {}  # multi-process eval programs (see _eval_images)
+        self._vae_global = None
 
     def _shard_state(self, state: SiDState) -> SiDState:
         place = lambda tree: shard_params(tree, self.mesh)
@@ -334,16 +344,19 @@ class Trainer:
 
     # ------------------------------------------------------------------ io
     def _encode_rounds(self) -> jnp.ndarray:
-        """(A, mb, L, D) embeddings for one phase: A fresh prompt microbatches."""
+        """(A, mb_local, L, D) embeddings for one phase: A fresh prompt
+        microbatches of this process's slab (== the global microbatch
+        single-process)."""
         prompts: List[str] = []
         for _ in range(self.a_rounds):
             prompts.extend(next(self.prompts))
         emb = self.pipe.encode_prompts(prompts)
-        return emb.reshape(self.a_rounds, self.cfg.microbatch, *emb.shape[1:])
+        return emb.reshape(self.a_rounds, self.mb_local, *emb.shape[1:])
 
     def _adv_rounds(self):
-        """(A, mb, h, w, c) real latents + (A, mb, L, D) caption embeddings."""
-        mb, A = self.cfg.microbatch, self.a_rounds
+        """(A, mb_local, h, w, c) real latents + (A, mb_local, L, D) caption
+        embeddings (per-process slabs, like ``_encode_rounds``)."""
+        mb, A = self.mb_local, self.a_rounds
         if self.latents is not None:
             lats, caps = [], []
             for _ in range(A):
@@ -415,7 +428,18 @@ class Trainer:
         from ..metrics import MetricOptions, calc_metric, report_metric
 
         self.pipe.params = dict(self.pipe.params)
-        self.pipe.params["generator"] = self.state.ema
+        if runtime.get_process_count() == 1:
+            self.pipe.params["generator"] = self.state.ema
+        else:
+            # The pipeline's metric jits run per-host on local devices; give
+            # them a host copy of the (globally sharded) EMA.  Collective —
+            # every process calls eval_metrics (metric loops are
+            # process-strided by design).
+            from ..runtime.checkpoint import fetch_to_host
+
+            self.pipe.params["generator"] = jax.tree_util.tree_map(
+                fetch_to_host, self.state.ema
+            )
         opts = MetricOptions(
             pipe=self.pipe,
             dataset_path=self.cfg.metric_data,
@@ -428,21 +452,102 @@ class Trainer:
                 report_metric(result, run_dir=self.cfg.run_dir or None,
                               snapshot_pkl=snapshot_path)
 
+    def _eval_images(self, prompts, lat, num_steps_eval: int) -> np.ndarray:
+        """EMA generator samples -> uint8 images, on any process topology.
+
+        Single-process (incl. a local fsdp mesh): the pipeline's jits on the
+        addressable devices.  Multi-process: ONE global SPMD program over the
+        mesh — the AOT-proven eval graph (sampler + VAE decode on the
+        training-layout, possibly fsdp-sharded, EMA params; see
+        scripts/aot_compile_multichip.py --eval) — so this method is
+        COLLECTIVE: every process must call it with identical inputs (true by
+        construction: grid prompts/latents are seed-derived).  Output is
+        replicated, so every host can read it locally."""
+        if runtime.get_process_count() == 1:
+            return np.asarray(self.pipe.generate(
+                prompts, lat, num_steps=num_steps_eval,
+                init_timestep=self.cfg.init_timestep,
+                rng=jax.random.PRNGKey(2024),
+            ))
+        from ..parallel.mesh import (
+            batch_sharding, global_put, param_shardings, replicated_sharding,
+        )
+
+        n = int(np.shape(lat)[0])
+        pad = (-n) % self.mesh.size
+        if pad:  # batch axis must split evenly over the mesh
+            lat = np.concatenate(
+                [np.asarray(lat), np.zeros((pad, *np.shape(lat)[1:]), np.asarray(lat).dtype)]
+            )
+            prompts = list(prompts) + [""] * pad
+        emb = np.asarray(self.pipe.encode_prompts(prompts))
+        z = global_put(np.asarray(lat), batch_sharding(self.mesh, np.ndim(lat)))
+        emb_g = global_put(emb, batch_sharding(self.mesh, emb.ndim))
+        key = ("mp_eval", num_steps_eval, z.shape, emb_g.shape)
+        if key not in self._eval_jits:
+            pipe = self.pipe
+            # Build the graph directly from the pipeline's pieces (the
+            # pipeline's own methods jit internally, which would nest).
+            from ..diffusion.sampling import sid_sampler
+
+            def eval_fn(ema, vae_p, z, emb, rng):
+                apply = lambda x, t, c: pipe.unet.apply({"params": ema}, x, t, c)
+                init_t = jnp.full((z.shape[0],), self.cfg.init_timestep, jnp.int32)
+                x0 = sid_sampler(apply, z, emb, init_t, pipe.scheduler,
+                                 num_steps=num_steps_eval, rng=rng,
+                                 dtype=pipe.dtype)
+                img = pipe.vae.apply(
+                    {"params": vae_p},
+                    x0 / pipe.config.vae.scaling_factor,
+                    method=pipe.vae.decode,
+                )
+                return jnp.clip(
+                    img.astype(jnp.float32) * 127.5 + 128.0, 0, 255
+                ).astype(jnp.uint8)
+
+            if self._vae_global is None:
+                self._vae_global = jax.tree_util.tree_map(
+                    lambda p, s: global_put(p, s),
+                    self.pipe.params["vae"],
+                    param_shardings(self.pipe.params["vae"], self.mesh),
+                )
+            rep = replicated_sharding(self.mesh)
+            self._eval_jits[key] = jax.jit(
+                eval_fn,
+                in_shardings=(
+                    param_shardings(self.state.ema, self.mesh),
+                    param_shardings(self._vae_global, self.mesh),
+                    batch_sharding(self.mesh, z.ndim),
+                    batch_sharding(self.mesh, emb_g.ndim),
+                    rep,
+                ),
+                out_shardings=rep,
+            )
+        from ..ops.attention import shard_mesh_scope
+
+        with shard_mesh_scope(self.mesh):
+            imgs = self._eval_jits[key](
+                self.state.ema, self._vae_global, z, emb_g,
+                jax.random.PRNGKey(2024),
+            )
+        return np.asarray(imgs)[:n]
+
     def sample_grid(self, kimg: int, num_steps_eval: int = 1, n: int = 16) -> str:
-        """Deterministic sample grid (reference temporary_seed=2024 pattern)."""
+        """Deterministic sample grid (reference temporary_seed=2024 pattern).
+
+        Collective on multi-process meshes (every host computes the same
+        grid); the PNG write is host-0 only."""
         rng = np.random.RandomState(2024)
         idx = rng.randint(len(self.prompts.dataset), size=n)
         prompts = [self.prompts.dataset[i] for i in idx]
         lat = seeded_latents(list(range(n)), self.dcfg.latent_size,
                              self.dcfg.latent_channels)
-        imgs = self.pipe.generate(
-            prompts, lat, num_steps=num_steps_eval,
-            init_timestep=self.cfg.init_timestep, rng=jax.random.PRNGKey(2024),
-        )
+        imgs = self._eval_images(prompts, lat, num_steps_eval)
         path = os.path.join(
             self.cfg.run_dir, f"fakes-steps{num_steps_eval}-{kimg:06d}.png"
         )
-        save_image_grid(np.asarray(imgs), path)
+        if runtime.get_process_index() == 0:
+            save_image_grid(imgs, path)
         return path
 
     @staticmethod
@@ -548,17 +653,19 @@ class Trainer:
                         for k, v in fields.items()},
                      "timestamp": time.time()}) + "\n")
                 stats_jsonl.flush()
-                if cfg.sample_ticks and cur_tick % cfg.sample_ticks == 0:
-                    for nse in (1, 2, 4) if cfg.num_steps > 1 else (1,):
-                        self.pipe.params["generator"] = self.state.ema
-                        self.sample_grid(cur_nimg // 1000, num_steps_eval=nse)
-            # Snapshot on host 0; metric loops are process-strided, so EVERY
-            # host participates in eval (reporting stays host-0 inside).
+            # Everything below is COLLECTIVE on multi-process meshes (grids,
+            # snapshot gathers and metric loops all involve every host; file
+            # writes stay host-0 inside).  run_dir is on a shared filesystem,
+            # so the isdir gates agree across hosts.
+            if (cfg.sample_ticks and cur_tick % cfg.sample_ticks == 0
+                    and os.path.isdir(cfg.run_dir)):
+                for nse in (1, 2, 4) if cfg.num_steps > 1 else (1,):
+                    self.pipe.params["generator"] = self.state.ema
+                    self.sample_grid(cur_nimg // 1000, num_steps_eval=nse)
             if cfg.snapshot_ticks and cur_tick and cur_tick % cfg.snapshot_ticks == 0:
                 snap_path = (
                     self.save_snapshot(cur_nimg // 1000)
-                    if runtime.get_process_index() == 0 and os.path.isdir(cfg.run_dir)
-                    else None
+                    if os.path.isdir(cfg.run_dir) else None
                 )
                 if cfg.metrics and cfg.metric_ticks and cur_tick % cfg.metric_ticks == 0:
                     self.eval_metrics(snap_path)
