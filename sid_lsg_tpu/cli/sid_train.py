@@ -66,6 +66,11 @@ from ..utils.util import Logger, make_run_dir
 @click.option("--adv_weight_g", "adv_weight_g", help="SiDA generator adversarial loss weight", type=float, default=0.0, show_default=True)
 @click.option("--gan_loss", type=click.Choice(["ns", "hinge"]), default="ns", show_default=True)
 @click.option("--adv_data", help="encode_latents npz of real latents+captions (SiDA)", type=str, default=None)
+@click.option("--adv_tower", type=click.Choice(["encoder", "dino"]), default="encoder", show_default=True,
+              help="Discriminator: 'encoder' = psi's encoder on noised latents (zero extra params); 'dino' = projected StyleGAN-T D on VAE-decoded pixels (frozen DINO + trainable spectral heads)")
+@click.option("--adv_dino", help="timm/dino ViT-S/16 state dict for --adv_tower dino (random init if unset — smoke only)", type=str, default=None)
+@click.option("--adv_vit", type=click.Choice(["s16", "tiny"]), default="s16", show_default=True,
+              help="DINO backbone config for --adv_tower dino ('tiny' = tests/smoke)")
 @click.option("--remat-policy", "remat_policy", type=click.Choice(["full", "dots", "dots_no_batch", "attn", "attn_offload", "flash"]), default="full", show_default=True,
               help="'flash' (save the attention kernel outputs; skips the backward-sweep kernel recompute) is the measured production recipe — BENCH_NOTES.md")
 @click.option("--lora_rank", type=int, default=4, show_default=True)
@@ -131,6 +136,9 @@ def main(**opts) -> None:
         adv_weight_G=opts["adv_weight_g"],
         gan_loss=opts["gan_loss"],
         adv_data=opts["adv_data"],
+        adv_tower=opts["adv_tower"],
+        adv_dino=opts["adv_dino"],
+        adv_vit=opts["adv_vit"],
         low_mem_opt=opts["low_mem_opt"],
         teacher_bf16=opts["teacher_bf16"],
         fake_score_use_lora=opts["fake_score_use_lora"],

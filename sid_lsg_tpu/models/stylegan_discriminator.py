@@ -114,10 +114,17 @@ class DINOViT(nn.Module):
 
 class SpectralConv1d(nn.Module):
     """Circular conv1d over tokens with spectral normalisation (one power
-    iteration per call, u persisted in the 'spectral' collection)."""
+    iteration per call, u persisted in the 'spectral' collection).
+
+    ``power_iters`` > 1 runs extra v/u sweeps per call — the STATELESS mode
+    used inside the jitted distillation step (``training/distill.py`` pixel
+    tower), where u stays at its init value instead of persisting across
+    steps and a single iteration from a fixed vector would under-estimate
+    sigma as the kernel drifts."""
 
     features: int
     kernel_size: int = 1
+    power_iters: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_u: bool = False) -> jnp.ndarray:
@@ -131,10 +138,12 @@ class SpectralConv1d(nn.Module):
             "spectral", "u",
             lambda: jax.random.normal(jax.random.PRNGKey(0), (self.features,)),
         )
-        v = w.T @ u.value
-        v = v / (jnp.linalg.norm(v) + 1e-12)
-        u_new = w @ v
-        u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+        u_new = u.value
+        for _ in range(self.power_iters):
+            v = w.T @ u_new
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u_new = w @ v
+            u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
         if update_u and not self.is_initializing():
             u.value = jax.lax.stop_gradient(u_new)
         sigma = u_new @ w @ v
@@ -173,10 +182,12 @@ class BatchNormLocal(nn.Module):
 class _HeadBlock(nn.Module):
     channels: int
     kernel_size: int
+    power_iters: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_u: bool = False) -> jnp.ndarray:
-        x = SpectralConv1d(self.channels, self.kernel_size, name="conv")(x, update_u)
+        x = SpectralConv1d(self.channels, self.kernel_size,
+                           power_iters=self.power_iters, name="conv")(x, update_u)
         x = BatchNormLocal(name="bn")(x)
         return jnp.where(x >= 0, x, 0.2 * x)  # leaky relu 0.2
 
@@ -185,18 +196,21 @@ class DiscHead(nn.Module):
     channels: int
     c_dim: int
     cmap_dim: int = 64
+    power_iters: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: Optional[jnp.ndarray],
                  update_u: bool = False) -> jnp.ndarray:
-        h = _HeadBlock(self.channels, 1, name="main0")(x, update_u)
-        r = _HeadBlock(self.channels, 9, name="main1")(h, update_u)
+        h = _HeadBlock(self.channels, 1, self.power_iters, name="main0")(x, update_u)
+        r = _HeadBlock(self.channels, 9, self.power_iters, name="main1")(h, update_u)
         h = (h + r) * float(np.sqrt(0.5))
         if self.c_dim > 0:
-            out = SpectralConv1d(self.cmap_dim, 1, name="cls")(h, update_u)
+            out = SpectralConv1d(self.cmap_dim, 1,
+                                 power_iters=self.power_iters, name="cls")(h, update_u)
             cmap = FullyConnectedLayer(self.cmap_dim, name="cmapper")(c)[..., None]
             return jnp.sum(out * cmap, axis=1, keepdims=True) / np.sqrt(self.cmap_dim)
-        return SpectralConv1d(1, 1, name="cls")(h, update_u)
+        return SpectralConv1d(1, 1, power_iters=self.power_iters,
+                              name="cls")(h, update_u)
 
 
 def diff_augment(rng: jax.Array, x: jnp.ndarray,
@@ -237,6 +251,7 @@ class ProjectedDiscriminator(nn.Module):
     c_dim: int
     vit: ViTConfig = DINO_VIT_S16
     diffaug: bool = True
+    power_iters: int = 1
 
     @nn.compact
     def __call__(
@@ -252,7 +267,8 @@ class ProjectedDiscriminator(nn.Module):
         feats = DINOViT(self.vit, name="dino")(x01)
         logits = []
         for key in sorted(feats, key=int):
-            out = DiscHead(self.vit.width, self.c_dim, name=f"head_{key}")(
+            out = DiscHead(self.vit.width, self.c_dim,
+                           power_iters=self.power_iters, name=f"head_{key}")(
                 feats[key], c, update_u
             )
             logits.append(out.reshape(x_nchw.shape[0], -1))

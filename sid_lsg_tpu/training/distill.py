@@ -77,6 +77,14 @@ class DistillConfig:
     adv_weight_D: float = 0.0
     adv_weight_G: float = 0.0
     gan_loss: str = "ns"  # 'ns' | 'hinge'
+    # Discriminator tower: 'encoder' = psi's encoder on noised latents (the
+    # announced zero-extra-parameter SiDA design); 'dino' = the projected
+    # StyleGAN-T discriminator on VAE-DECODED pixels (frozen DINO features,
+    # trainable spectral heads — reference networks/discriminator.py, shipped
+    # there but never wired into any loop).  'dino' requires `pixel_disc` in
+    # make_train_step, a `disc_frozen` batch entry, and params_fake shaped
+    # {'psi': ..., 'disc': ...}.
+    adv_tower: str = "encoder"  # 'encoder' | 'dino'
 
     @property
     def use_context_dropout_fake(self) -> bool:
@@ -115,6 +123,7 @@ def make_train_step(
     fake_transform: Optional[Callable[[Any, Any], Any]] = None,
     unet_encode: Optional[UNetApplyP] = None,
     mesh=None,
+    pixel_disc: Optional[Callable[..., jnp.ndarray]] = None,
 ):
     """Build ``train_step(state, teacher_params, batch, rng)``.
 
@@ -125,7 +134,16 @@ def make_train_step(
 
     ``unet_encode(params, noisy_latents, t, emb)`` is the encoder-only UNet
     apply (bottleneck features) backing the SiDA discriminator; required iff
-    ``cfg.adversarial`` (see ``training/adversarial.py``).
+    ``cfg.adversarial`` with the default ``adv_tower='encoder'``
+    (see ``training/adversarial.py``).
+
+    ``pixel_disc(disc_params, frozen, latents, emb, rng) -> (B, K) logits``
+    is the pixel-space projected-discriminator apply (VAE decode + frozen
+    DINO features + trainable spectral heads) required iff
+    ``cfg.adv_tower == 'dino'``; ``frozen`` arrives as the ``disc_frozen``
+    batch entry (replicated — frozen judge weights), ``disc_params`` is
+    ``state.params_fake['disc']`` (the trainable heads, updated by the psi
+    optimizer in the psi phase), and ``rng`` drives DiffAugment.
 
     ``mesh`` (optional, >1-device): pins every phase-boundary activation
     (drawn latents, sampler outputs, denoise outputs) to batch sharding via
@@ -145,11 +163,20 @@ def make_train_step(
     where A = accumulation rounds and mb = global microbatch.
     """
     fake_transform = fake_transform or (lambda pf, teacher: pf)
-    if cfg.adversarial and unet_encode is None:
+    if cfg.adv_tower not in ("encoder", "dino"):
+        raise ValueError(f"unknown adv_tower: {cfg.adv_tower!r}")
+    pixel_mode = cfg.adversarial and cfg.adv_tower == "dino"
+    if cfg.adversarial and not pixel_mode and unet_encode is None:
         raise ValueError(
-            "adv_weight_D/adv_weight_G > 0 requires unet_encode "
-            "(encoder-only UNet apply for the SiDA discriminator)"
+            "adv_weight_D/adv_weight_G > 0 with adv_tower='encoder' requires "
+            "unet_encode (encoder-only UNet apply for the SiDA discriminator)"
         )
+    if pixel_mode and pixel_disc is None:
+        raise ValueError("adv_tower='dino' requires pixel_disc")
+    # params_fake is {'psi': ..., 'disc': ...} in pixel mode (one optimizer
+    # updates both in the psi phase); plain psi otherwise.
+    psi_of = (lambda pf: pf["psi"]) if pixel_mode else (lambda pf: pf)
+    disc_of = (lambda pf: pf["disc"]) if pixel_mode else (lambda pf: None)
     from . import adversarial
     from ..parallel.mesh import activation_constraint
     v_pred = scheduler.config.prediction_type == "v_prediction"
@@ -188,10 +215,21 @@ def make_train_step(
         feats = unet_encode(params_eff, x_in.astype(cfg.dtype), t, emb)
         return adversarial.pooled_logit(feats)
 
+    def _d_logits(params_fake, eff, latents, noise, emb, t, frozen, rng):
+        """Discriminator logits for one side (real or generated), per tower."""
+        if pixel_mode:
+            return pixel_disc(disc_of(params_fake), frozen, latents, emb, rng)
+        return _disc_logit(eff, latents, noise, emb, t)
+
+    def _per_sample(d: jnp.ndarray) -> jnp.ndarray:
+        """(B,) or (B, K) per-logit losses -> (B,) (projected D emits one
+        logit per head; average them so gan weights stay tower-comparable)."""
+        return d if d.ndim == 1 else jnp.mean(d, axis=tuple(range(1, d.ndim)))
+
     # ---------------- psi (fake score) phase -------------------------------
     def _psi_loss(params_fake, teacher, images, noise, emb, uncond_b, t,
-                  extra, rng_adv, denom):
-        eff = fake_transform(params_fake, teacher)
+                  extra, frozen, rng_adv, denom):
+        eff = fake_transform(psi_of(params_fake), teacher)
         noise_fake = _denoise(
             eff, images, noise, emb, uncond_b, t,
             cfg.cfg_train_fake, predict_x0=False,
@@ -211,11 +249,16 @@ def make_train_step(
         aux = {"n_valid": jnp.sum(valid), "loss": loss}
         total = loss
         if cfg.adv_weight_D > 0.0:
-            noise_real = jax.random.normal(rng_adv, extra["lat_real"].shape, jnp.float32)
-            logit_fake = _disc_logit(eff, images, noise, emb, t)
-            logit_real = _disc_logit(eff, extra["lat_real"], noise_real,
-                                     extra["emb_real"], t)
-            d_per = adversarial.d_loss(logit_real, logit_fake, cfg.gan_loss)
+            r_fake, r_real = jax.random.split(rng_adv)
+            noise_real = jax.random.normal(r_real, extra["lat_real"].shape, jnp.float32)
+            logit_fake = _d_logits(params_fake, eff, images, noise, emb, t,
+                                   frozen, r_fake)
+            logit_real = _d_logits(params_fake, eff, extra["lat_real"],
+                                   noise_real, extra["emb_real"], t,
+                                   frozen, r_real)
+            d_per = _per_sample(
+                adversarial.d_loss(logit_real, logit_fake, cfg.gan_loss)
+            )
             d_per = jnp.where(jnp.isfinite(d_per), d_per, 0.0)
             adv = jnp.sum(d_per) * (cfg.adv_weight_D * cfg.loss_scaling / denom)
             total = total + adv
@@ -238,10 +281,9 @@ def make_train_step(
 
     # ---------------- theta (generator) phase ------------------------------
     def _g_loss(params_g, params_fake, teacher, z, noise, emb, uncond_b, t,
-                init_t, rng, rng_adv, denom):
-        del rng_adv  # reserved: G adv reuses the denoise noise draw
+                init_t, rng, frozen, rng_adv, denom):
         images = _generate(params_g, z, emb, init_t, rng)
-        eff_fake = fake_transform(params_fake, teacher)
+        eff_fake = fake_transform(psi_of(params_fake), teacher)
         y_fake = _denoise(eff_fake, images, noise,
                           emb, uncond_b, t, cfg.cfg_eval_fake, predict_x0=True)
         y_real = _denoise(teacher, images, noise, emb, uncond_b, t,
@@ -266,10 +308,12 @@ def make_train_step(
         aux = {"n_valid": jnp.sum(valid), "loss": loss}
         total = loss
         if cfg.adv_weight_G > 0.0:
-            # Gradient reaches theta through `images`; psi's encoder is a
+            # Gradient reaches theta through `images`; the discriminator is a
             # fixed judge here (its own update happened in the psi phase).
-            logit_gen = _disc_logit(eff_fake, images, noise, emb, t)
+            logit_gen = _d_logits(params_fake, eff_fake, images, noise, emb,
+                                  t, frozen, rng_adv)
             g_per = adversarial.g_loss(logit_gen, cfg.gan_loss)
+            g_per = _per_sample(g_per)
             g_per = jnp.where(valid & jnp.isfinite(g_per), g_per, 0.0)
             adv = jnp.sum(g_per) * (cfg.adv_weight_G * cfg.loss_scaling_G / denom)
             total = total + adv
@@ -355,6 +399,10 @@ def make_train_step(
             {"lat_real": batch["lat_real"], "emb_real": batch["emb_real"]}
             if cfg.adv_weight_D > 0.0 else {}
         )
+        # Frozen pixel-discriminator weights (VAE decoder + DINO backbone +
+        # spectral u's) ride as a replicated batch entry — inputs, not
+        # trainables, and not per-round data (the scan closes over them).
+        frozen = batch.get("disc_frozen") if pixel_mode else None
 
         # --- psi update (generator frozen: params_G enters via stop_gradient).
         def psi_grad(params_fake, emb, extra, r_draw, r_multi):
@@ -365,7 +413,7 @@ def make_train_step(
             r_adv = jax.random.fold_in(r_draw, 1)
             return jax.grad(_psi_loss, has_aux=True)(
                 params_fake, teacher_params, images, noise, emb, uncond_b, t,
-                extra, r_adv, denom,
+                extra, frozen, r_adv, denom,
             )
 
         grads_f, aux_f = _accumulate(
@@ -382,7 +430,7 @@ def make_train_step(
             r_adv = jax.random.fold_in(r_draw, 1)
             return jax.grad(_g_loss, has_aux=True)(
                 params_g, params_fake, teacher_params, z, noise, emb,
-                uncond_b, t, init_t, r_multi, r_adv, denom,
+                uncond_b, t, init_t, r_multi, frozen, r_adv, denom,
             )
 
         grads_g, aux_g = _accumulate(

@@ -88,6 +88,15 @@ class TrainConfig:
     adv_weight_G: float = 0.0
     gan_loss: str = "ns"
     adv_data: Optional[str] = None
+    # Discriminator tower: 'encoder' (psi's encoder on noised latents — the
+    # announced zero-parameter design) or 'dino' (the projected StyleGAN-T
+    # discriminator on VAE-decoded pixels: frozen DINO ViT features +
+    # trainable spectral heads, reference networks/discriminator.py — shipped
+    # there but never wired into a loop).  'dino' decodes every adversarial
+    # microbatch through the VAE inside the train step.
+    adv_tower: str = "encoder"
+    adv_dino: Optional[str] = None  # timm/dino ViT-S/16 state dict (torch pickle)
+    adv_vit: str = "s16"  # 's16' | 'tiny' (tiny = tests/smoke only)
     # Precision / memory.
     use_bf16: bool = True
     gradient_checkpointing: bool = False
@@ -193,6 +202,7 @@ class Trainer:
             adv_weight_D=cfg.adv_weight_D,
             adv_weight_G=cfg.adv_weight_G,
             gan_loss=cfg.gan_loss,
+            adv_tower=cfg.adv_tower,
         )
         unet = self.pipe.unet
         if cfg.gradient_checkpointing:
@@ -203,8 +213,77 @@ class Trainer:
         unet_apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
         unet_encode = (
             (lambda p, x, t, c: unet.apply({"params": p}, x, t, c, encoder_only=True))
-            if self.dcfg.adversarial else None
+            if self.dcfg.adversarial and cfg.adv_tower == "encoder" else None
         )
+
+        # Pixel-space projected discriminator (--adv_tower dino): frozen DINO
+        # backbone + VAE decoder ride as a replicated 'disc_frozen' batch
+        # entry; the trainable spectral heads join params_fake ({'psi','disc'})
+        # so the psi optimizer updates them in the psi phase.
+        self._pixel_disc = None
+        self._disc_frozen = None
+        disc_head_init = None
+        if self.dcfg.adversarial and cfg.adv_tower == "dino":
+            from ..models.stylegan_discriminator import (
+                DINO_VIT_S16, TINY_VIT, ProjectedDiscriminator, convert_dino,
+            )
+
+            vit_cfg = TINY_VIT if cfg.adv_vit == "tiny" else DINO_VIT_S16
+            text_dim = sd_cfg.unet.cross_attention_dim
+            # power_iters=3: stateless spectral norm inside the jitted step
+            # (u stays at init; see models/stylegan_discriminator.py).
+            disc = ProjectedDiscriminator(c_dim=text_dim, vit=vit_cfg,
+                                          power_iters=3)
+            res = sd_cfg.resolution  # pixel size the VAE decodes to
+            dvars = disc.init(
+                jax.random.PRNGKey(cfg.seed + 3),
+                jnp.zeros((1, 3, res, res), jnp.float32),
+                jnp.zeros((1, text_dim), jnp.float32),
+            )
+            dparams = dict(dvars["params"])
+            dino_params = dparams.pop("dino")
+            if cfg.adv_dino:
+                from ..runtime.checkpoint import torch_pickle_state_dict
+
+                dino_params = convert_dino(
+                    torch_pickle_state_dict(cfg.adv_dino), vit_cfg
+                )
+            else:
+                runtime.print0(
+                    "WARNING: --adv_tower dino without --adv_dino uses a "
+                    "RANDOM DINO backbone — smoke/testing only."
+                )
+            if self.dcfg.adv_weight_D == 0.0:
+                runtime.print0(
+                    "WARNING: --adv_tower dino with adv_weight_d == 0 — the "
+                    "spectral heads receive no gradients (only the D loss "
+                    "trains them), so the G term judges with random heads."
+                )
+            disc_head_init = dparams  # {'head_0': ..., ...} spectral heads
+            vae = self.pipe.vae
+            vae_scaling = sd_cfg.vae.scaling_factor
+
+            def pixel_disc(disc_params, frozen, latents, emb, rng):
+                img = vae.apply({"params": frozen["vae"]},
+                                latents / vae_scaling, method=vae.decode)
+                x_nchw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+                c = jnp.mean(emb.astype(jnp.float32), axis=1)  # pooled caption
+                return disc.apply(
+                    {"params": {**disc_params, "dino": frozen["dino"]},
+                     "spectral": frozen["spectral"]},
+                    x_nchw, c, rng=rng,
+                )
+
+            self._pixel_disc = pixel_disc
+            from ..parallel.mesh import replicated_sharding
+            from .. import parallel as _par
+
+            rep = replicated_sharding(self.mesh)
+            self._disc_frozen = jax.tree_util.tree_map(
+                lambda x: _par.global_put(np.asarray(x), rep),
+                {"vae": self.pipe.params["vae"], "dino": dino_params,
+                 "spectral": dict(dvars["spectral"])},
+            )
         wd = cfg.weight_decay if cfg.optimizer == "adamw" else 0.0
         self.opt_g = make_optimizer(lr=cfg.glr, eps=cfg.adam_eps,
                                     low_mem_state=cfg.low_mem_opt,
@@ -224,6 +303,14 @@ class Trainer:
                 rank=cfg.lora_rank,
             )
             fake_transform = lambda pf, teacher: apply_lora(teacher, pf)
+        if disc_head_init is not None:
+            # Pixel-tower mode: state.params_fake = {'psi': ..., 'disc': ...}
+            # (distill.py psi_of/disc_of split; fake_transform sees only psi).
+            params_fake_init = {
+                "psi": (params_fake_init if params_fake_init is not None
+                        else self.pipe.params["unet"]),
+                "disc": disc_head_init,
+            }
         # Teacher stays a separate frozen pytree; state holds the 3 trainables.
         # State init must see the f32 weights (theta/EMA are f32 masters);
         # the teacher cast happens after.
@@ -256,10 +343,12 @@ class Trainer:
                                   self.opt_g, self.opt_fake,
                                   fake_transform=fake_transform,
                                   unet_encode=unet_encode,
-                                  mesh=self.mesh if multi else None)
+                                  mesh=self.mesh if multi else None,
+                                  pixel_disc=self._pixel_disc)
         batch_example = dict.fromkeys(
             ("emb_fake", "emb_g", "uncond_emb")
             + (("lat_real", "emb_real") if self.dcfg.adv_weight_D > 0.0 else ())
+            + (("disc_frozen",) if self._pixel_disc is not None else ())
         )
         jitted_step = jit_train_step(
             step_fn,
@@ -385,6 +474,10 @@ class Trainer:
             from ..parallel import shard_round_batch
 
             batch = shard_round_batch(batch, self.mesh)
+        if self._disc_frozen is not None:
+            # Already device-placed (replicated) once at init; inserting the
+            # placed arrays directly makes the per-step put a no-op.
+            batch["disc_frozen"] = self._disc_frozen
         return batch
 
     def save_snapshot(self, kimg: int) -> str:

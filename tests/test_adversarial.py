@@ -129,6 +129,132 @@ def test_adversarial_requires_encoder():
         make_train_step(apply, DDPMScheduler(), cfg, opt, opt)
 
 
+def _pixel_setup(adv_weight_D=0.1, adv_weight_G=0.1, a_rounds=1, mb=2, **kw):
+    """Distill step with the PIXEL discriminator tower (--adv_tower dino):
+    VAE decode + frozen TINY_VIT DINO + trainable spectral heads, mirroring
+    the Trainer wiring in training/loop.py."""
+    from sid_lsg_tpu.models.stylegan_discriminator import (
+        TINY_VIT, ProjectedDiscriminator,
+    )
+
+    sd, unet, params = _tiny_unet()
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+    s = sd.unet.sample_size
+    vae = models.AutoencoderKL(sd.vae)
+    vae_params = vae.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, sd.resolution, sd.resolution, 3))
+    )["params"]
+    disc = ProjectedDiscriminator(c_dim=D, vit=TINY_VIT, power_iters=2)
+    dvars = disc.init(
+        jax.random.PRNGKey(5),
+        jnp.zeros((1, 3, sd.resolution, sd.resolution)), jnp.zeros((1, D)),
+    )
+    dparams = dict(dvars["params"])
+    dino = dparams.pop("dino")
+    frozen = {"vae": vae_params, "dino": dino,
+              "spectral": dict(dvars["spectral"])}
+
+    def pixel_disc(disc_params, fro, latents, emb, rng):
+        img = vae.apply({"params": fro["vae"]},
+                        latents / sd.vae.scaling_factor, method=vae.decode)
+        x_nchw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+        c = jnp.mean(emb.astype(jnp.float32), axis=1)
+        return disc.apply(
+            {"params": {**disc_params, "dino": fro["dino"]},
+             "spectral": fro["spectral"]},
+            x_nchw, c, rng=rng,
+        )
+
+    cfg = DistillConfig(
+        latent_size=s, batch_size=a_rounds * mb, adv_tower="dino",
+        adv_weight_D=adv_weight_D, adv_weight_G=adv_weight_G, **kw,
+    )
+    opt = make_optimizer(lr=1e-4)
+    step = make_train_step(apply, DDPMScheduler(), cfg, opt, opt,
+                           pixel_disc=pixel_disc)
+    state = init_state(params, opt, opt,
+                       params_fake={"psi": params, "disc": dparams})
+    k = jax.random.PRNGKey(7)
+    batch = {
+        "emb_fake": jax.random.normal(jax.random.fold_in(k, 0), (a_rounds, mb, L, D)),
+        "emb_g": jax.random.normal(jax.random.fold_in(k, 1), (a_rounds, mb, L, D)),
+        "uncond_emb": jnp.zeros((L, D)),
+        "lat_real": jax.random.normal(jax.random.fold_in(k, 2), (a_rounds, mb, s, s, 4)),
+        "emb_real": jax.random.normal(jax.random.fold_in(k, 3), (a_rounds, mb, L, D)),
+        "disc_frozen": frozen,
+    }
+    return step, state, params, batch
+
+
+def test_pixel_tower_step_runs():
+    step, state, params0, batch = _pixel_setup(a_rounds=2)
+    state1, m = jax.jit(step)(state, params0, batch, jax.random.PRNGKey(3))
+    for key in ("fake_score_loss", "g_loss", "adv_d_loss", "adv_g_loss",
+                "d_logit_real", "d_logit_fake"):
+        assert key in m and np.isfinite(float(m[key])), key
+    # The D loss trains the spectral heads (inside params_fake['disc']).
+    d_heads = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params_fake["disc"]),
+        jax.tree_util.tree_leaves(state.params_fake["disc"])))
+    assert d_heads > 0
+    # ...and psi still trains through its denoising loss.
+    d_psi = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params_fake["psi"]),
+        jax.tree_util.tree_leaves(state.params_fake["psi"])))
+    assert d_psi > 0
+
+
+def test_pixel_tower_g_term_steers_theta():
+    """adv_weight_G through the pixel judge must change the theta update
+    (gradient flows through VAE decode + DINO into the generator)."""
+    step_on, state_on, params0, batch = _pixel_setup(adv_weight_G=0.1)
+    step_off, state_off, _, _ = _pixel_setup(adv_weight_G=0.0)
+    rng = jax.random.PRNGKey(3)
+    sa, ma = jax.jit(step_on)(state_on, params0, batch, rng)
+    so, mo = jax.jit(step_off)(state_off, params0, batch, rng)
+    assert "adv_g_loss" in ma and "adv_g_loss" not in mo
+    d_g = sum(float(jnp.sum(jnp.abs(x - y))) for x, y in zip(
+        jax.tree_util.tree_leaves(sa.params_G),
+        jax.tree_util.tree_leaves(so.params_G)))
+    assert d_g > 0
+
+
+def test_pixel_tower_requires_pixel_disc():
+    sd, unet, params = _tiny_unet()
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+    cfg = DistillConfig(latent_size=sd.unet.sample_size, batch_size=2,
+                        adv_weight_D=0.1, adv_tower="dino")
+    opt = make_optimizer(lr=1e-4)
+    with pytest.raises(ValueError, match="pixel_disc"):
+        make_train_step(apply, DDPMScheduler(), cfg, opt, opt)
+    with pytest.raises(ValueError, match="adv_tower"):
+        make_train_step(apply, DDPMScheduler(), cfg.__class__(
+            latent_size=sd.unet.sample_size, batch_size=2,
+            adv_weight_D=0.1, adv_tower="vgg"), opt, opt)
+
+
+def test_pixel_tower_trainer_smoke(tmp_path):
+    """Trainer-level wiring of --adv_tower dino (tiny preset, one step on the
+    suite's 8-device mesh): pixel_disc construction, params_fake {psi,disc}
+    wrapping, disc_frozen batch placement."""
+    from sid_lsg_tpu.training.loop import TrainConfig, Trainer
+
+    n_dev = jax.device_count()
+    cfg = TrainConfig(
+        run_dir=str(tmp_path), model="tiny", batch_size=n_dev,
+        microbatch=n_dev, adv_weight_D=0.1, adv_weight_G=0.01,
+        adv_tower="dino", adv_vit="tiny", use_bf16=False, seed=1,
+    )
+    tr = Trainer(cfg)
+    assert set(tr.state.params_fake) == {"psi", "disc"}
+    assert tr._disc_frozen is not None
+    batch = tr.next_batch()
+    assert "disc_frozen" in batch
+    state1, m = tr.train_step(tr.state, tr.teacher, batch, jax.random.PRNGKey(0))
+    for key in ("adv_d_loss", "adv_g_loss", "d_logit_real", "d_logit_fake"):
+        assert key in m and np.isfinite(float(m[key])), key
+
+
 def test_latent_dataset_roundtrip(tmp_path):
     from sid_lsg_tpu.data.latents import InfiniteLatentIterator, LatentDataset
 
