@@ -255,6 +255,34 @@ def test_pixel_tower_trainer_smoke(tmp_path):
         assert key in m and np.isfinite(float(m[key])), key
 
 
+def test_pixel_tower_on_mesh():
+    """Pixel tower over a dp=4 x fsdp=2 mesh: the VAE-decode + DINO judge
+    shards along the batch with the replicated disc_frozen entry."""
+    from sid_lsg_tpu.parallel import make_mesh, shard_batch, shard_params
+    from sid_lsg_tpu.parallel.mesh import batch_shardings, replicated_sharding
+    from sid_lsg_tpu.training import SiDState
+
+    step, state, params0, batch = _pixel_setup(mb=8)
+    mesh = make_mesh(fsdp=2)
+    state = jax.tree_util.tree_map(jnp.asarray, state)
+    sharded_state = SiDState(
+        step=state.step, nimg=state.nimg,
+        params_G=shard_params(state.params_G, mesh),
+        params_fake=shard_params(state.params_fake, mesh),
+        ema=shard_params(state.ema, mesh),
+        opt_G=state.opt_G, opt_fake=state.opt_fake,
+    )
+    teacher = shard_params(params0, mesh)
+    sh = batch_shardings(batch, mesh)
+    placed = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+    assert placed["disc_frozen"] is not batch["disc_frozen"]
+    state1, m = jax.jit(step)(sharded_state, teacher, placed,
+                              jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["adv_d_loss"]))
+    assert np.isfinite(float(m["adv_g_loss"]))
+    assert np.isfinite(float(m["fake_score_loss"]))
+
+
 def test_latent_dataset_roundtrip(tmp_path):
     from sid_lsg_tpu.data.latents import InfiniteLatentIterator, LatentDataset
 
