@@ -123,6 +123,32 @@ def clip_cmd(src, out):
     print(f"ok: wrote {out}; export SIDLSG_CLIP_WEIGHTS={os.path.abspath(out)}")
 
 
+@cli.command("dino")
+@click.option("--src", required=True, help="timm/dino ViT-S/16 checkpoint (e.g. dino_deitsmall16_pretrain.pth)")
+@click.option("--out", required=True, help="output weights file (.pt)")
+def dino_cmd(src, out):
+    """Convert + validate the DINO backbone for `sid-train --adv_tower dino`."""
+    import numpy as np
+    import torch
+
+    from sid_lsg_tpu.models.convert import load_torch_state_dict
+    from sid_lsg_tpu.models.stylegan_discriminator import (
+        DINO_VIT_S16, DINOViT, convert_dino,
+    )
+
+    sd = load_torch_state_dict(src)
+    params = convert_dino(sd, DINO_VIT_S16)
+    vit = DINOViT(DINO_VIT_S16)
+    feats = vit.apply({"params": params},
+                      np.zeros((1, 224, 224, 3), np.float32))
+    assert len(feats) == vit.n_hooks
+    for v in feats.values():
+        assert np.isfinite(np.asarray(v)).all()
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    torch.save({k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}, out)
+    print(f"ok: wrote {out}; pass it to sid-train --adv_tower dino --adv_dino {os.path.abspath(out)}")
+
+
 @cli.command("snapshot")
 @click.option("--src", required=True, help="reference network-snapshot-*.pkl")
 @click.option("--out", required=True, help="output generator .safetensors")
