@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--kappa", type=float, default=1.5)
     ap.add_argument("--adv", type=float, default=0.0,
                     help="SiDA adversarial weight (D and G); 0 = plain SiD")
+    ap.add_argument("--adv-tower", default="encoder",
+                    choices=["encoder", "dino"],
+                    help="discriminator tower: psi encoder (zero params) or "
+                         "projected DINO on VAE-decoded pixels")
     ap.add_argument("--teacher-bf16", action="store_true",
                     help="store the frozen teacher in bf16 (compute already "
                          "casts params to bf16, so this only moves the one-time "
@@ -99,16 +103,53 @@ def main():
         dtype=jnp.bfloat16,
         adv_weight_D=args.adv,
         adv_weight_G=args.adv,
+        adv_tower=args.adv_tower,
     )
     opt_g = make_optimizer(lr=1e-6, low_mem_state=args.lowmem)
     opt_f = make_optimizer(lr=1e-6, low_mem_state=args.lowmem and not args.lora)
     unet_encode = (
         (lambda p, x, t, c: unet.apply({"params": p}, x, t, c, encoder_only=True))
-        if args.adv > 0 else None
+        if args.adv > 0 and args.adv_tower == "encoder" else None
     )
+    pixel_disc = None
+    disc_frozen = None
+    if args.adv > 0 and args.adv_tower == "dino":
+        from sid_lsg_tpu.models.stylegan_discriminator import (
+            DINO_VIT_S16, ProjectedDiscriminator,
+        )
+
+        vae = models.AutoencoderKL(base.vae, dtype=jnp.bfloat16)
+        res = ucfg.sample_size * 2 ** (len(base.vae.block_out_channels) - 1)
+        vae_params = zeros_params(vae, jnp.zeros((1, res, res, 3)))
+        disc = ProjectedDiscriminator(c_dim=D, vit=DINO_VIT_S16, power_iters=3)
+        # REAL init for the (small) disc: zeros params make the spectral norm
+        # 0/0 (sigma == 0) and poison the finite-metrics check.
+        dvars = disc.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 3, res, res), jnp.float32),
+            jnp.zeros((1, D), jnp.float32))
+        dparams = dict(dvars["params"])
+        dino = dparams.pop("dino")
+        disc_frozen = {"vae": vae_params, "dino": dino,
+                       "spectral": dict(dvars["spectral"])}
+        params_fake = {"psi": params_fake if params_fake is not None else params,
+                       "disc": dparams}
+        scaling = base.vae.scaling_factor
+
+        def pixel_disc(disc_params, frozen, latents, emb, rng):
+            img = vae.apply({"params": frozen["vae"]}, latents / scaling,
+                            method=vae.decode)
+            x_nchw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+            c = jnp.mean(emb.astype(jnp.float32), axis=1)
+            return disc.apply(
+                {"params": {**disc_params, "dino": frozen["dino"]},
+                 "spectral": frozen["spectral"]},
+                x_nchw, c, rng=rng,
+            )
+
     step = make_train_step(apply, DDPMScheduler(), cfg, opt_g, opt_f,
                            fake_transform=fake_transform,
-                           unet_encode=unet_encode)
+                           unet_encode=unet_encode,
+                           pixel_disc=pixel_disc)
     jstep = jit_train_step(step)
 
     state = init_state(params, opt_g, opt_f, params_fake=params_fake)
@@ -129,6 +170,8 @@ def main():
         s = ucfg.sample_size
         batch["lat_real"] = jnp.zeros((args.rounds, args.mb, s, s, 4))
         batch["emb_real"] = jnp.zeros((args.rounds, args.mb, L, D))
+    if disc_frozen is not None:
+        batch["disc_frozen"] = disc_frozen
     rng = jax.random.PRNGKey(0)
 
     t_c0 = time.perf_counter()
@@ -150,6 +193,7 @@ def main():
         "remat": bool(args.remat),
         "remat_policy": args.remat_policy,
         "adv": args.adv,
+        "adv_tower": args.adv_tower,
         "teacher_bf16": args.teacher_bf16,
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
