@@ -804,7 +804,20 @@ def training_loop(cfg: TrainConfig) -> SiDState:
 
         gen = load_generator_params(cfg.resume, trainer.pipe.config.unet)
         gen = shard_params(gen, trainer.mesh)
+        # Each destination needs its OWN buffers: the train step donates the
+        # whole state, and XLA rejects donating one buffer twice (G and EMA
+        # seeded from the same snapshot would alias).
+        copy = lambda: jax.tree_util.tree_map(lambda p: p.copy(), gen)
+        # params_fake must KEEP its initialized structure: a LoRA psi stays a
+        # factor tree (the snapshot is a full UNet), and the pixel tower's
+        # {'psi','disc'} wrapper keeps its heads — only a full-UNet psi is
+        # seeded from the snapshot (reference --resume loads G/EMA/fake alike,
+        # sid_training_loop.py:296-311, but its fake net is always full).
+        pf = trainer.state.params_fake
+        if not cfg.fake_score_use_lora:
+            pf = (dict(pf, psi=copy()) if trainer._pixel_disc is not None
+                  else copy())
         trainer.state = dataclasses.replace(
-            trainer.state, params_G=gen, params_fake=gen, ema=gen
+            trainer.state, params_G=gen, params_fake=pf, ema=copy()
         )
     return trainer.run()

@@ -283,6 +283,32 @@ def test_pixel_tower_on_mesh():
     assert np.isfinite(float(m["fake_score_loss"]))
 
 
+def test_snapshot_resume_keeps_pixel_tower_structure(tmp_path):
+    """--resume <generator snapshot> under --adv_tower dino: G/EMA and the
+    full psi are seeded from the snapshot, the {'psi','disc'} wrapper and the
+    spectral heads survive."""
+    from sid_lsg_tpu.runtime.checkpoint import export_generator
+    from sid_lsg_tpu.training.loop import TrainConfig, Trainer, training_loop
+
+    n_dev = jax.device_count()
+    base = dict(model="tiny", batch_size=n_dev, microbatch=n_dev,
+                use_bf16=False, adv_weight_D=0.1, adv_weight_G=0.01,
+                adv_tower="dino", adv_vit="tiny", seed=3, max_ticks=1,
+                kimg_per_tick=0, snapshot_ticks=0, state_dump_ticks=0,
+                sample_ticks=0)
+    donor = Trainer(TrainConfig(run_dir=str(tmp_path), **base))
+    snap = str(tmp_path / "gen.safetensors")
+    export_generator(donor.state.ema, snap)
+    del donor
+
+    cfg = TrainConfig(run_dir=str(tmp_path / "resumed"), resume=snap, **base)
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    state = training_loop(cfg)
+    assert set(state.params_fake) == {"psi", "disc"}
+    assert any(k.startswith("head_") for k in state.params_fake["disc"])
+    assert int(state.step) >= 1
+
+
 def test_latent_dataset_roundtrip(tmp_path):
     from sid_lsg_tpu.data.latents import InfiniteLatentIterator, LatentDataset
 

@@ -80,3 +80,31 @@ def test_lora_train_step():
         )
     )
     assert moved > 0
+
+
+def test_snapshot_resume_keeps_lora_structure(tmp_path):
+    """--resume <generator snapshot> with a LoRA psi must seed G/EMA from the
+    snapshot while params_fake KEEPS the factor tree (regression: it used to
+    be overwritten with the full UNet tree, crashing apply_lora at trace)."""
+    from sid_lsg_tpu.runtime.checkpoint import export_generator
+    from sid_lsg_tpu.training.loop import TrainConfig, Trainer, training_loop
+
+    n_dev = jax.device_count()
+    base = dict(model="tiny", batch_size=n_dev, microbatch=n_dev,
+                use_bf16=False, fake_score_use_lora=True, seed=3,
+                max_ticks=1, kimg_per_tick=0, snapshot_ticks=0,
+                state_dump_ticks=0, sample_ticks=0)
+    donor = Trainer(TrainConfig(run_dir=str(tmp_path), **base))
+    snap = str(tmp_path / "gen.safetensors")
+    export_generator(donor.state.ema, snap)
+    del donor
+
+    cfg = TrainConfig(run_dir=str(tmp_path / "resumed"), resume=snap, **base)
+    import os
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    state = training_loop(cfg)
+    # psi stayed a LoRA factor tree: every entry is an {'a','b'} factor pair.
+    assert state.params_fake and all(
+        set(f) == {"a", "b"} for f in state.params_fake.values()
+    )
+    assert int(state.step) >= 1
