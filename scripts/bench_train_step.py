@@ -117,6 +117,7 @@ def main():
         from sid_lsg_tpu.models.stylegan_discriminator import (
             DINO_VIT_S16, ProjectedDiscriminator,
         )
+        from sid_lsg_tpu.training.adversarial import make_pixel_disc
 
         vae = models.AutoencoderKL(base.vae, dtype=jnp.bfloat16)
         res = ucfg.sample_size * 2 ** (len(base.vae.block_out_channels) - 1)
@@ -129,22 +130,12 @@ def main():
             jnp.zeros((1, D), jnp.float32))
         dparams = dict(dvars["params"])
         dino = dparams.pop("dino")
-        disc_frozen = {"vae": vae_params, "dino": dino,
+        pixel_disc, decode_params = make_pixel_disc(
+            vae, disc, base.vae.scaling_factor)
+        disc_frozen = {"vae": decode_params(vae_params), "dino": dino,
                        "spectral": dict(dvars["spectral"])}
         params_fake = {"psi": params_fake if params_fake is not None else params,
                        "disc": dparams}
-        scaling = base.vae.scaling_factor
-
-        def pixel_disc(disc_params, frozen, latents, emb, rng):
-            img = vae.apply({"params": frozen["vae"]}, latents / scaling,
-                            method=vae.decode)
-            x_nchw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
-            c = jnp.mean(emb.astype(jnp.float32), axis=1)
-            return disc.apply(
-                {"params": {**disc_params, "dino": frozen["dino"]},
-                 "spectral": frozen["spectral"]},
-                x_nchw, c, rng=rng,
-            )
 
     step = make_train_step(apply, DDPMScheduler(), cfg, opt_g, opt_f,
                            fake_transform=fake_transform,

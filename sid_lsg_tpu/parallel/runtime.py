@@ -86,8 +86,23 @@ def sync_hosts(name: str = "sync") -> None:
 
 def should_stop() -> bool:
     """Cluster-requested graceful stop; polled once per tick
-    (reference sid_training_loop.py:591-594).  Hook for preemption signals."""
-    return os.path.exists(os.environ.get("SIDLSG_STOP_FILE", "/nonexistent-stop-file"))
+    (reference sid_training_loop.py:591-594).  Hook for preemption signals.
+
+    Multi-process: the training loop is COLLECTIVE (train step, grids,
+    snapshot gathers), so the flag must be AGREED — a preemption signal
+    delivered to one host only would make it break out while the others
+    block forever in the next collective.  Any-host-set => every host stops,
+    decided by one scalar allgather per tick."""
+    local = os.path.exists(
+        os.environ.get("SIDLSG_STOP_FILE", "/nonexistent-stop-file")
+    )
+    if get_process_count() == 1:
+        return local
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray([local]))
+    return bool(np.any(flags))
 
 
 def update_progress(cur: int, total: int) -> None:

@@ -167,31 +167,54 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> dict:
     return tree
 
 
+def _needs_gather(x: Any) -> bool:
+    return isinstance(x, jax.Array) and not (
+        x.is_fully_addressable or x.is_fully_replicated
+    )
+
+
 def fetch_to_host(x: Any) -> np.ndarray:
     """Materialise an array on the host, gathering cross-process shards.
 
     Leaves that are fully addressable or fully replicated read locally;
     fsdp-sharded leaves on a multi-host mesh need a collective gather — so on
     >1 processes this must be called by EVERY process (even when only host 0
-    writes the result), or the gather deadlocks."""
-    if isinstance(x, jax.Array) and not (
-        x.is_fully_addressable or x.is_fully_replicated
-    ):
+    writes the result), or the gather deadlocks.  For whole param trees use
+    ``fetch_tree_to_host`` (ONE collective program instead of one per leaf)."""
+    if _needs_gather(x):
         from jax.experimental import multihost_utils
 
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
 
 
+def fetch_tree_to_host(tree: Any) -> Any:
+    """``fetch_to_host`` over a pytree with ONE process_allgather for all the
+    cross-process-sharded leaves — per-leaf gathers would compile and dispatch
+    a separate collective program per parameter at every snapshot/metric tick.
+    Collective: every process must call it with the same tree."""
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    need = [i for i, x in enumerate(flat) if _needs_gather(x)]
+    if need:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            [flat[i] for i in need], tiled=True
+        )
+        for i, g in zip(need, gathered):
+            flat[i] = g
+    return treedef.unflatten([np.asarray(x) for x in flat])
+
+
 def export_generator(params: dict, path: str) -> None:
     """EMA generator params -> one safetensors file with '/'-joined keys
     (the portable snapshot replacing the reference's code-carrying pickles).
 
-    Collective on multi-host meshes (see ``fetch_to_host``): every process
-    must call it; only process 0 writes the file."""
+    Collective on multi-host meshes (see ``fetch_tree_to_host``): every
+    process must call it; only process 0 writes the file."""
     from safetensors.numpy import save_file
 
-    host = jax.tree_util.tree_map(fetch_to_host, params)
+    host = fetch_tree_to_host(params)
     if jax.process_index() != 0:
         return
     tmp = path + ".tmp"

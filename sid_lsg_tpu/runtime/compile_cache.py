@@ -23,7 +23,7 @@ def host_tag() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                if line.startswith(("flags", "Features")):  # x86 / arm
                     return hashlib.md5(line.encode()).hexdigest()[:10]
     except OSError:
         pass
@@ -46,11 +46,12 @@ def enable(cache_dir: str | None = None) -> None:
     # compiled on a different box fails a CPU-feature check and silently
     # recompiles (observed after a driver box swap — every "cache hit" was a
     # multi-minute recompile, which also re-opens the multi-process Gloo
-    # rendezvous race, tests/test_multiprocess.py).  Partition the CPU cache
-    # by host fingerprint; TPU executables are portable and stay shared.
-    platforms = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
-    if platforms == "cpu":
-        cache_dir = os.path.join(cache_dir, f"host-{host_tag()}")
+    # rendezvous race, tests/test_multiprocess.py).  Partition the WHOLE
+    # cache by host fingerprint: the backend is not queryable here (enable()
+    # runs before jax.distributed.initialize, and env sniffing misses the
+    # JAX_PLATFORMS-unset CPU fallback); the cost is one re-warm of the TPU
+    # entries per box swap.
+    cache_dir = os.path.join(cache_dir, f"host-{host_tag()}")
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -69,3 +69,36 @@ def g_loss(logit_fake: jnp.ndarray, kind: str = "ns") -> jnp.ndarray:
     if kind == "hinge":
         return -logit_fake
     raise ValueError(f"unknown gan loss kind: {kind!r}")
+
+
+def make_pixel_disc(vae, disc, scaling_factor: float):
+    """The pixel-space judge for ``adv_tower='dino'``, shared by the Trainer,
+    the bench script and the tests (ONE definition of the judging convention).
+
+    Returns ``(pixel_disc, decode_params)``:
+
+    - ``pixel_disc(disc_params, frozen, latents, emb, rng) -> (B, K) logits``
+      — VAE-decode the latents to pixels, judge with the projected
+      discriminator (frozen DINO backbone + trainable spectral heads),
+      conditioned on the mean-pooled caption embedding; ``rng`` drives
+      DiffAugment.
+    - ``decode_params(vae_params)`` — the decode-only VAE subtree
+      (decoder + post_quant_conv); the encoder half would otherwise ride
+      replicated on every chip for nothing.
+    """
+
+    def decode_params(vae_params):
+        return {k: vae_params[k] for k in ("decoder", "post_quant_conv")}
+
+    def pixel_disc(disc_params, frozen, latents, emb, rng):
+        img = vae.apply({"params": frozen["vae"]}, latents / scaling_factor,
+                        method=vae.decode)
+        x_nchw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+        c = jnp.mean(emb.astype(jnp.float32), axis=1)  # pooled caption
+        return disc.apply(
+            {"params": {**disc_params, "dino": frozen["dino"]},
+             "spectral": frozen["spectral"]},
+            x_nchw, c, rng=rng,
+        )
+
+    return pixel_disc, decode_params

@@ -260,28 +260,19 @@ class Trainer:
                     "trains them), so the G term judges with random heads."
                 )
             disc_head_init = dparams  # {'head_0': ..., ...} spectral heads
-            vae = self.pipe.vae
-            vae_scaling = sd_cfg.vae.scaling_factor
+            from .adversarial import make_pixel_disc
 
-            def pixel_disc(disc_params, frozen, latents, emb, rng):
-                img = vae.apply({"params": frozen["vae"]},
-                                latents / vae_scaling, method=vae.decode)
-                x_nchw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
-                c = jnp.mean(emb.astype(jnp.float32), axis=1)  # pooled caption
-                return disc.apply(
-                    {"params": {**disc_params, "dino": frozen["dino"]},
-                     "spectral": frozen["spectral"]},
-                    x_nchw, c, rng=rng,
-                )
-
-            self._pixel_disc = pixel_disc
+            self._pixel_disc, decode_params = make_pixel_disc(
+                self.pipe.vae, disc, sd_cfg.vae.scaling_factor
+            )
             from ..parallel.mesh import replicated_sharding
             from .. import parallel as _par
 
             rep = replicated_sharding(self.mesh)
             self._disc_frozen = jax.tree_util.tree_map(
                 lambda x: _par.global_put(np.asarray(x), rep),
-                {"vae": self.pipe.params["vae"], "dino": dino_params,
+                {"vae": decode_params(self.pipe.params["vae"]),
+                 "dino": dino_params,
                  "spectral": dict(dvars["spectral"])},
             )
         wd = cfg.weight_decay if cfg.optimizer == "adamw" else 0.0
@@ -363,9 +354,25 @@ class Trainer:
             # a clean global.
             from ..ops.attention import shard_mesh_scope
 
+            self._compiled_step = None
+
             def train_step(*args):
                 with shard_mesh_scope(self.mesh):
-                    return jitted_step(*args)
+                    if runtime.get_process_count() == 1:
+                        return jitted_step(*args)
+                    # Multi-process: a plain jit call compiles (minutes)
+                    # and then DISPATCHES immediately — the first process
+                    # out of compile starts Gloo's HARDCODED 30s
+                    # context-creation clock while the others still
+                    # compile, killing the run
+                    # (tests/test_multiprocess.py).  AOT-compile, then
+                    # align every process on the coordination-service
+                    # barrier (long timeout) before the first dispatch.
+                    if self._compiled_step is None:
+                        self._compiled_step = jitted_step.lower(
+                            *args).compile()
+                        runtime.sync_hosts("train-step-compiled")
+                    return self._compiled_step(*args)
 
             self.train_step = train_step
         else:
@@ -413,7 +420,12 @@ class Trainer:
                     "WARNING: adversarial training without --adv_data uses "
                     "SYNTHETIC random latents — smoke/testing only."
                 )
-                self._adv_rng = np.random.RandomState(cfg.seed + 2)
+                # Per-process seed: hosts must feed DISTINCT slabs (the real
+                # iterators stride; identical RandomState would assemble N
+                # copies of each 'real' row into the global batch).
+                self._adv_rng = np.random.RandomState(
+                    cfg.seed + 2 + 1000 * runtime.get_process_index()
+                )
         self.ckpt_mgr = None
         self._eval_jits: dict = {}  # multi-process eval programs (see _eval_images)
         self._vae_global = None
@@ -528,11 +540,9 @@ class Trainer:
             # them a host copy of the (globally sharded) EMA.  Collective —
             # every process calls eval_metrics (metric loops are
             # process-strided by design).
-            from ..runtime.checkpoint import fetch_to_host
+            from ..runtime.checkpoint import fetch_tree_to_host
 
-            self.pipe.params["generator"] = jax.tree_util.tree_map(
-                fetch_to_host, self.state.ema
-            )
+            self.pipe.params["generator"] = fetch_tree_to_host(self.state.ema)
         opts = MetricOptions(
             pipe=self.pipe,
             dataset_path=self.cfg.metric_data,
@@ -605,7 +615,7 @@ class Trainer:
                     param_shardings(self.pipe.params["vae"], self.mesh),
                 )
             rep = replicated_sharding(self.mesh)
-            self._eval_jits[key] = jax.jit(
+            jitted = jax.jit(
                 eval_fn,
                 in_shardings=(
                     param_shardings(self.state.ema, self.mesh),
@@ -616,6 +626,16 @@ class Trainer:
                 ),
                 out_shardings=rep,
             )
+            # AOT-compile + barrier before the first dispatch (same Gloo
+            # 30s context-creation race as the train step, see train_step).
+            from ..ops.attention import shard_mesh_scope
+
+            with shard_mesh_scope(self.mesh):
+                self._eval_jits[key] = jitted.lower(
+                    self.state.ema, self._vae_global, z, emb_g,
+                    jax.random.PRNGKey(2024),
+                ).compile()
+            runtime.sync_hosts(f"eval-compiled-{len(self._eval_jits)}")
         from ..ops.attention import shard_mesh_scope
 
         with shard_mesh_scope(self.mesh):

@@ -151,19 +151,10 @@ def _pixel_setup(adv_weight_D=0.1, adv_weight_G=0.1, a_rounds=1, mb=2, **kw):
     )
     dparams = dict(dvars["params"])
     dino = dparams.pop("dino")
-    frozen = {"vae": vae_params, "dino": dino,
+    pixel_disc, decode_params = adversarial.make_pixel_disc(
+        vae, disc, sd.vae.scaling_factor)
+    frozen = {"vae": decode_params(vae_params), "dino": dino,
               "spectral": dict(dvars["spectral"])}
-
-    def pixel_disc(disc_params, fro, latents, emb, rng):
-        img = vae.apply({"params": fro["vae"]},
-                        latents / sd.vae.scaling_factor, method=vae.decode)
-        x_nchw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
-        c = jnp.mean(emb.astype(jnp.float32), axis=1)
-        return disc.apply(
-            {"params": {**disc_params, "dino": fro["dino"]},
-             "spectral": fro["spectral"]},
-            x_nchw, c, rng=rng,
-        )
 
     cfg = DistillConfig(
         latent_size=s, batch_size=a_rounds * mb, adv_tower="dino",

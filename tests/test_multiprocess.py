@@ -143,8 +143,11 @@ def test_two_process_training(tmp_path):
     ckpts = rd / "checkpoints"
     assert ckpts.is_dir() and any(ckpts.iterdir()), "no orbax checkpoint saved"
 
-    # The two processes fed DISJOINT prompt streams (process striding): both
-    # logs exist and the loop ran on each (log.txt itself is host-0 only; the
-    # subprocess stdout carries each process's tick line).
+    # Per-process evidence: tick lines / Exiting are print0 (host 0 only);
+    # the ungated "Output directory:" print proves host 1 resolved the SAME
+    # run dir and reached the loop.  Host 1 must NOT carry host-0-gated
+    # output.
     assert "tick 0" in outs[0]
     assert "Exiting..." in outs[0]
+    assert str(rd) in outs[1].split("Output directory:", 1)[1].splitlines()[0]
+    assert "tick 0" not in outs[1]

@@ -17,7 +17,7 @@ from sid_lsg_tpu.parallel import (
     shard_round_batch,
 )
 from sid_lsg_tpu.parallel.mesh import batch_sharding
-from sid_lsg_tpu.runtime.checkpoint import fetch_to_host
+from sid_lsg_tpu.runtime.checkpoint import fetch_to_host, fetch_tree_to_host
 
 
 def test_process_local_rows_single_process():
@@ -64,3 +64,18 @@ def test_fetch_to_host_sharded_and_plain():
     np.testing.assert_array_equal(fetch_to_host(sharded), x)
     np.testing.assert_array_equal(fetch_to_host(x), x)
     np.testing.assert_array_equal(fetch_to_host([1.0, 2.0]), [1.0, 2.0])
+
+
+def test_fetch_tree_to_host():
+    mesh = make_mesh(dp=4, fsdp=2)
+    x = np.arange(16, dtype=np.float32).reshape(8, 2)
+    tree = {
+        "sharded": jax.device_put(x, batch_sharding(mesh, x.ndim)),
+        "plain": {"y": np.float32(3.0), "z": jax.device_put(x)},
+    }
+    out = fetch_tree_to_host(tree)
+    np.testing.assert_array_equal(out["sharded"], x)
+    np.testing.assert_array_equal(out["plain"]["z"], x)
+    assert float(out["plain"]["y"]) == 3.0
+    assert all(isinstance(v, np.ndarray)
+               for v in jax.tree_util.tree_leaves(out))
