@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--eval", action="store_true",
                     help="compile the EVAL path (sid_sampler + VAE decode on "
                          "fsdp-sharded EMA params) instead of the train step")
+    ap.add_argument("--adv", type=float, default=0.0,
+                    help="SiDA adversarial weight (D and G); 0 = plain SiD")
+    ap.add_argument("--adv-tower", default="encoder",
+                    choices=["encoder", "dino"])
     args = ap.parse_args()
 
     from jax.experimental import topologies
@@ -114,13 +118,46 @@ def main():
         latent_size=ucfg.sample_size, batch_size=global_mb,
         cfg_train_fake=args.kappa, cfg_eval_fake=args.kappa,
         cfg_eval_real=args.kappa, dtype=jnp.bfloat16,
+        adv_weight_D=args.adv, adv_weight_G=args.adv,
+        adv_tower=args.adv_tower,
     )
     opt_g = make_optimizer(lr=1e-6, low_mem_state=args.lowmem)
     opt_f = make_optimizer(lr=1e-6, low_mem_state=args.lowmem and not args.lora)
+    unet_encode = (
+        (lambda p, x, t, c: unet.apply({"params": p}, x, t, c, encoder_only=True))
+        if args.adv > 0 and args.adv_tower == "encoder" else None
+    )
+    pixel_disc = None
+    disc_frozen_abs = None
+    if args.adv > 0 and args.adv_tower == "dino":
+        from sid_lsg_tpu.models.stylegan_discriminator import (
+            DINO_VIT_S16, ProjectedDiscriminator,
+        )
+        from sid_lsg_tpu.training.adversarial import make_pixel_disc
+
+        vcfg = models_vae_config()
+        vae = models.AutoencoderKL(vcfg, dtype=jnp.bfloat16)
+        res = ucfg.sample_size * vcfg.vae_scale_factor
+        vae_abs = jax.eval_shape(
+            lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)))
+        )["params"]
+        disc = ProjectedDiscriminator(c_dim=D, vit=DINO_VIT_S16, power_iters=3)
+        dvars_abs = jax.eval_shape(lambda: disc.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res), jnp.float32),
+            jnp.zeros((1, D), jnp.float32)))
+        dparams_abs = dict(dvars_abs["params"])
+        dino_abs = dparams_abs.pop("dino")
+        pixel_disc, decode_params = make_pixel_disc(
+            vae, disc, vcfg.scaling_factor)
+        disc_frozen_abs = {"vae": decode_params(vae_abs), "dino": dino_abs,
+                           "spectral": dict(dvars_abs["spectral"])}
+        fake_abs = {"psi": fake_abs if fake_abs is not None else params_abs,
+                    "disc": dparams_abs}
     # mesh= wires the phase-boundary with_sharding_constraints — the same
     # graph the Trainer jits (zero involuntary SPMD remats, VERDICT r2 #1).
     step = make_train_step(apply, DDPMScheduler(), cfg, opt_g, opt_f,
-                           fake_transform=fake_transform, mesh=mesh)
+                           fake_transform=fake_transform, mesh=mesh,
+                           unet_encode=unet_encode, pixel_disc=pixel_disc)
 
     state_abs = jax.eval_shape(
         lambda p, pf: init_state(p, opt_g, opt_f, params_fake=pf),
@@ -136,6 +173,14 @@ def main():
         "emb_g": jax.ShapeDtypeStruct((1, global_mb, L, D), jnp.float32),
         "uncond_emb": jax.ShapeDtypeStruct((L, D), jnp.float32),
     }
+    if args.adv > 0:
+        s = ucfg.sample_size
+        batch_abs["lat_real"] = jax.ShapeDtypeStruct(
+            (1, global_mb, s, s, 4), jnp.float32)
+        batch_abs["emb_real"] = jax.ShapeDtypeStruct(
+            (1, global_mb, L, D), jnp.float32)
+    if disc_frozen_abs is not None:
+        batch_abs["disc_frozen"] = disc_frozen_abs
     rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
     # Shardings assembled by the same jit_train_step the Trainer uses.
@@ -154,6 +199,8 @@ def main():
         "lowmem": args.lowmem,
         "teacher_bf16": args.teacher_bf16,
         "remat_policy": args.remat_policy,
+        "adv": args.adv,
+        "adv_tower": args.adv_tower,
     })
 
 

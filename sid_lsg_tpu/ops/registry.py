@@ -53,6 +53,24 @@ def _on_tpu() -> bool:
         return False
 
 
+# Ops whose pallas impl routes ITSELF through a shard_map manual region on
+# >1-device meshes (ops/attention.py:set_shard_mesh).  Every other Mosaic
+# kernel would hit GSPMD's "Mosaic kernels cannot be automatically
+# partitioned" at compile time when traced under a registered mesh, so
+# impl_for falls them back to 'ref' (XLA partitions the jnp form fine —
+# these are elementwise/reduction ops where 'ref' is already competitive).
+_SHARD_MAP_AWARE = frozenset({"attention"})
+
+
+def _shard_mesh_active() -> bool:
+    # NOTE: ``from . import attention`` would resolve to the *function* the
+    # package __init__ re-exports under the same name, not the module.
+    import importlib
+
+    attention = importlib.import_module(__package__ + ".attention")
+    return attention._SHARD_MESH is not None
+
+
 def impl_for(name: str, impl: Optional[str] = None, pallas_ok: bool = True) -> Callable:
     """Resolve the implementation to call for op ``name``.
 
@@ -61,6 +79,8 @@ def impl_for(name: str, impl: Optional[str] = None, pallas_ok: bool = True) -> C
     """
     choice = impl or _default_impl
     impls = _OPS[name]
+    if pallas_ok and name not in _SHARD_MAP_AWARE and _shard_mesh_active():
+        pallas_ok = False  # see _SHARD_MAP_AWARE
     if choice == "auto":
         choice = "pallas" if (_on_tpu() and pallas_ok and "pallas" in impls) else "ref"
     if choice == "pallas" and ("pallas" not in impls or not pallas_ok):

@@ -229,3 +229,27 @@ def test_fma():
 
     a, b, c = jnp.ones((2, 2)) * 2, jnp.ones((2, 2)) * 3, jnp.ones((2, 2))
     np.testing.assert_allclose(np.asarray(fma(a, b, c)), 7.0)
+
+
+def test_registry_vetoes_unaware_pallas_under_shard_mesh():
+    """Under a registered >1-device mesh only attention shard_map-routes its
+    Mosaic kernel; every other op must resolve to 'ref' or GSPMD dies with
+    'Mosaic kernels cannot be automatically partitioned' (found by the
+    --adv-tower dino pod-topology AOT compile)."""
+    import jax
+
+    import importlib
+
+    attn_mod = importlib.import_module("sid_lsg_tpu.ops.attention")
+    ba = importlib.import_module("sid_lsg_tpu.ops.bias_act")
+    from sid_lsg_tpu.ops import registry
+    from sid_lsg_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=4, fsdp=2)
+    with attn_mod.shard_mesh_scope(mesh):
+        assert registry.impl_for("bias_act", "pallas") is ba._bias_act_ref
+        assert registry.impl_for("bias_act", "auto") is ba._bias_act_ref
+        assert (registry.impl_for("attention", "pallas")
+                is attn_mod._attention_pallas)
+    # Cleared scope: pallas resolves again (explicit request).
+    assert registry.impl_for("bias_act", "pallas") is ba._bias_act_pallas
