@@ -237,3 +237,51 @@ def test_dataset_tool_lmdb_needs_package(tmp_path):
     except ImportError:
         pass
     assert r.returncode != 0 and "lmdb" in (r.stdout + r.stderr)
+
+
+# ---------------------------------------------------------------------------
+# Prompt/figure assets (SURVEY A21): the in-tree eval corpus and golden
+# figures.  These are DATA artifacts (public COCO-2014 captions + the
+# reference's published figure outputs; see prompts/README.md) whose
+# byte-level contract the eval protocol depends on: seed i renders caption
+# line i (reference generate_onestep.py:228-232).
+# ---------------------------------------------------------------------------
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_caption_corpus_contract():
+    from sid_lsg_tpu.data.prompts import read_prompt_file
+
+    path = os.path.join(_REPO, "prompts", "captions.txt")
+    prompts = read_prompt_file(path)
+    assert len(prompts) == 30000  # seeds 0-29999 (evaluate_coco256.sh)
+    # read_prompt_file drops empty lines; the corpus must not contain any,
+    # or the seed<->line pairing silently shifts.
+    with open(path, encoding="utf-8") as f:
+        raw = f.read().splitlines()
+    assert len(raw) == 30000 and all(ln.strip() for ln in raw)
+    # spot-pin the mapping so a re-sorted/filtered corpus fails loudly
+    assert prompts[0].startswith("This wire metal rack")
+    assert prompts[1] == "A motorcycle parked in a parking space next to another motorcycle."
+
+
+def test_figure_prompts_match_golden_images():
+    from sid_lsg_tpu.data.prompts import read_prompt_file
+
+    fig_dirs = {
+        "fig1-captions.txt": ["example_images/figure1"],
+        "fig6-captions.txt": ["example_images/figure6/sd1.5",
+                              "example_images/figure6/sd2.1base"],
+        "fig8-captions.txt": ["example_images/figure8"],
+    }
+    for captions, dirs in fig_dirs.items():
+        n = len(read_prompt_file(os.path.join(_REPO, "prompts", captions)))
+        assert n > 0
+        for d in dirs:
+            pngs = [f for f in os.listdir(os.path.join(_REPO, d))
+                    if f.endswith(".png")]
+            # goldens are seed-indexed 000000.png..; at least one per prompt
+            # (figure1 ships one extra unprompted sample — allow >=)
+            assert len(pngs) >= n, (d, len(pngs), n)
+            assert sorted(pngs)[0] == "000000.png"
