@@ -18,7 +18,9 @@ def timed(fn, iters=3):
 
 def main():
     n = 4096
-    a = jnp.full((n, n), 0.001, jnp.bfloat16)
+    # Contraction-stable fill: each matmul multiplies magnitudes by n*(1/n)=1,
+    # so the chain never drifts toward overflow however long reps grows.
+    a = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
     reps = 64
 
     @jax.jit

@@ -1,6 +1,6 @@
 """Unrolled vs scanned op-chain: detects per-HLO-op execution overhead.
 
-Both programs do 64 chained 4096^2 bf16 matmuls (identical FLOPs).  The
+Both programs do 64 chained 2048^2 bf16 matmuls (identical FLOPs).  The
 scan compiles to ONE while-loop HLO; the unrolled version to ~64 separate
 fusions.  A large gap means the runtime charges per executed op — which a
 big flat graph (the distillation step) pays thousands of times.

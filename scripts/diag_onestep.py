@@ -52,8 +52,9 @@ def main():
     print(json.dumps({"probe": "unet_fwd_ms", "value": round(ms, 1)}), flush=True)
 
     x0 = scheduler.pred_original_sample(eps.astype(jnp.float32), timesteps, latents)
-    img = jvae(vae_params, x0 / sd.vae.scaling_factor)
-    ms = timed(lambda: float(jvae(vae_params, x0)[0, 0, 0, 0].astype(jnp.float32)))
+    z = x0 / sd.vae.scaling_factor
+    jvae(vae_params, z)
+    ms = timed(lambda: float(jvae(vae_params, z)[0, 0, 0, 0].astype(jnp.float32)))
     print(json.dumps({"probe": "vae_decode_ms", "value": round(ms, 1)}), flush=True)
 
     # bf16 params variant: does the in-graph f32->bf16 cast of 860M params
