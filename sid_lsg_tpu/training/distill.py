@@ -114,54 +114,35 @@ def _mask_rows(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
 
 
-def make_train_step(
+def make_loss_fns(
     unet_apply: UNetApplyP,
     scheduler: DDPMScheduler,
     cfg: DistillConfig,
-    opt_g: optax.GradientTransformation,
-    opt_fake: optax.GradientTransformation,
     fake_transform: Optional[Callable[[Any, Any], Any]] = None,
     unet_encode: Optional[UNetApplyP] = None,
     mesh=None,
     pixel_disc: Optional[Callable[..., jnp.ndarray]] = None,
 ):
-    """Build ``train_step(state, teacher_params, batch, rng)``.
+    """Build the per-round loss functions of both phases as pure callables.
 
-    ``fake_transform(params_fake, teacher_params)`` maps the trainable
-    fake-score state to effective UNet params; identity by default, or
-    ``lora.apply_lora`` composition when psi is LoRA-parameterised
-    (``state.params_fake`` then holds only the factor tree).
+    This is the single source of truth for the SiD-LSG math — ``make_train_step``
+    composes these with RNG draws, gradient accumulation and the optimizers.
+    Exposed publicly so the composed-step cross-implementation gate
+    (``tests/test_composed_step_gate.py``) can feed EXPLICIT z/noise/t/embedding
+    tensors into the exact code the production step runs and compare losses and
+    gradients against an independent torch reimplementation of the reference
+    algorithm (``training/sid_training_loop.py:383-549`` +
+    ``training/sid_sd_util.py:163-274``).
 
-    ``unet_encode(params, noisy_latents, t, emb)`` is the encoder-only UNet
-    apply (bottleneck features) backing the SiDA discriminator; required iff
-    ``cfg.adversarial`` with the default ``adv_tower='encoder'``
-    (see ``training/adversarial.py``).
-
-    ``pixel_disc(disc_params, frozen, latents, emb, rng) -> (B, K) logits``
-    is the pixel-space projected-discriminator apply (VAE decode + frozen
-    DINO features + trainable spectral heads) required iff
-    ``cfg.adv_tower == 'dino'``; ``frozen`` arrives as the ``disc_frozen``
-    batch entry (replicated — frozen judge weights), ``disc_params`` is
-    ``state.params_fake['disc']`` (the trainable heads, updated by the psi
-    optimizer in the psi phase), and ``rng`` drives DiffAugment.
-
-    ``mesh`` (optional, >1-device): pins every phase-boundary activation
-    (drawn latents, sampler outputs, denoise outputs) to batch sharding via
-    ``with_sharding_constraint`` so the SPMD partitioner never falls back to
-    involuntary full rematerialization when propagating between the fsdp
-    parameter layout and the batch layout.  The constraint transposes to the
-    cotangents too, anchoring the backward pass.
-
-    ``batch`` (text already encoded — the text tower is frozen, so encoding
-    happens once per batch outside both phases, unlike the reference which
-    re-tokenises inside every denoise call):
-      - ``emb_fake``: (A, mb, L, D) prompt embeddings for the psi phase
-      - ``emb_g``:    (A, mb, L, D) prompt embeddings for the theta phase
-      - ``uncond_emb``: (L, D) embedding of the empty prompt
-      - ``lat_real``/``emb_real``: (A, mb, h, w, c)/(A, mb, L, D) VAE latents
-        of real images and their caption embeddings (adversarial mode only)
-    where A = accumulation rounds and mb = global microbatch.
+    Returns a namespace with:
+      - ``psi_loss(params_fake, teacher, images, noise, emb, uncond_b, t,
+        extra, frozen, rng_adv, denom) -> (loss, aux)``
+      - ``g_loss(params_g, params_fake, teacher, z, noise, emb, uncond_b, t,
+        init_t, rng, frozen, rng_adv, denom) -> (loss, aux)``
+      - ``generate/denoise/draw`` building blocks and the aux-zero trees.
     """
+    import types
+
     fake_transform = fake_transform or (lambda pf, teacher: pf)
     if cfg.adv_tower not in ("encoder", "dino"):
         raise ValueError(f"unknown adv_tower: {cfg.adv_tower!r}")
@@ -227,14 +208,30 @@ def make_train_step(
         return d if d.ndim == 1 else jnp.mean(d, axis=tuple(range(1, d.ndim)))
 
     # ---------------- psi (fake score) phase -------------------------------
-    def _psi_loss(params_fake, teacher, images, noise, emb, uncond_b, t,
-                  extra, frozen, rng_adv, denom):
+    def psi_loss(params_fake, teacher, images, noise, emb, uncond_b, t,
+                 extra, frozen, rng_adv, denom):
+        # Sanitize UNet INPUTS per-row before tracing them into the graph:
+        # a NaN activation inside the net poisons whole weight-gradient
+        # tensors in the backward pass (0-cotangent x NaN-activation = NaN).
+        # The reference has the same IEEE failure mode — its row filtering
+        # (sid_training_loop.py:423-436) zeroes only the dropped rows'
+        # cotangents, so every parameter downstream of the NaN origin still
+        # gets a NaN gradient that nan_to_num (:458-460) wipes to zero,
+        # losing the valid rows' contribution.  Zeroing invalid input rows
+        # up front is strictly stronger: the row is excluded by `valid`
+        # below, every activation stays finite, and valid rows' gradients
+        # survive in full.  (NaN born INSIDE the net from finite inputs
+        # still falls back to nan_to_num_grads.)  Loss values match the
+        # reference exactly either way; gated by test_composed_step_gate.py.
+        valid_in = _per_sample_finite(images) & _per_sample_finite(noise)
+        images = _mask_rows(images, valid_in)
+        noise = _mask_rows(noise, valid_in)
         eff = fake_transform(psi_of(params_fake), teacher)
         noise_fake = _denoise(
             eff, images, noise, emb, uncond_b, t,
             cfg.cfg_train_fake, predict_x0=False,
         )
-        valid = _per_sample_finite(noise_fake)
+        valid = valid_in & _per_sample_finite(noise_fake)
         if v_pred:
             target = scheduler.get_velocity(images, noise, t)
             valid = valid & _per_sample_finite(target)
@@ -269,7 +266,7 @@ def make_train_step(
             )
         return total, aux
 
-    def _psi_aux_zero():
+    def psi_aux_zero():
         aux = {"n_valid": jnp.zeros((), jnp.int32), "loss": jnp.zeros((), jnp.float32)}
         if cfg.adv_weight_D > 0.0:
             aux.update(
@@ -280,8 +277,14 @@ def make_train_step(
         return aux
 
     # ---------------- theta (generator) phase ------------------------------
-    def _g_loss(params_g, params_fake, teacher, z, noise, emb, uncond_b, t,
-                init_t, rng, frozen, rng_adv, denom):
+    def g_loss(params_g, params_fake, teacher, z, noise, emb, uncond_b, t,
+               init_t, rng, frozen, rng_adv, denom):
+        # Same input sanitization rationale as psi_loss: keep every traced
+        # activation finite so invalid rows cost only their own contribution,
+        # not (via backward NaN poisoning + nan_to_num) the whole gradient.
+        valid_in = _per_sample_finite(z) & _per_sample_finite(noise)
+        z = _mask_rows(z, valid_in)
+        noise = _mask_rows(noise, valid_in)
         images = _generate(params_g, z, emb, init_t, rng)
         eff_fake = fake_transform(psi_of(params_fake), teacher)
         y_fake = _denoise(eff_fake, images, noise,
@@ -289,7 +292,8 @@ def make_train_step(
         y_real = _denoise(teacher, images, noise, emb, uncond_b, t,
                           cfg.cfg_eval_real, predict_x0=True)
         valid = (
-            _per_sample_finite(images)
+            valid_in
+            & _per_sample_finite(images)
             & _per_sample_finite(y_real)
             & _per_sample_finite(y_fake)
         )
@@ -320,11 +324,82 @@ def make_train_step(
             aux["adv_g_loss"] = adv
         return total, aux
 
-    def _g_aux_zero():
+    def g_aux_zero():
         aux = {"n_valid": jnp.zeros((), jnp.int32), "loss": jnp.zeros((), jnp.float32)}
         if cfg.adv_weight_G > 0.0:
             aux["adv_g_loss"] = jnp.zeros((), jnp.float32)
         return aux
+
+    return types.SimpleNamespace(
+        psi_loss=psi_loss,
+        g_loss=g_loss,
+        psi_aux_zero=psi_aux_zero,
+        g_aux_zero=g_aux_zero,
+        draw=_draw,
+        generate=_generate,
+        denoise=_denoise,
+        pixel_mode=pixel_mode,
+        psi_of=psi_of,
+    )
+
+
+def make_train_step(
+    unet_apply: UNetApplyP,
+    scheduler: DDPMScheduler,
+    cfg: DistillConfig,
+    opt_g: optax.GradientTransformation,
+    opt_fake: optax.GradientTransformation,
+    fake_transform: Optional[Callable[[Any, Any], Any]] = None,
+    unet_encode: Optional[UNetApplyP] = None,
+    mesh=None,
+    pixel_disc: Optional[Callable[..., jnp.ndarray]] = None,
+):
+    """Build ``train_step(state, teacher_params, batch, rng)``.
+
+    ``fake_transform(params_fake, teacher_params)`` maps the trainable
+    fake-score state to effective UNet params; identity by default, or
+    ``lora.apply_lora`` composition when psi is LoRA-parameterised
+    (``state.params_fake`` then holds only the factor tree).
+
+    ``unet_encode(params, noisy_latents, t, emb)`` is the encoder-only UNet
+    apply (bottleneck features) backing the SiDA discriminator; required iff
+    ``cfg.adversarial`` with the default ``adv_tower='encoder'``
+    (see ``training/adversarial.py``).
+
+    ``pixel_disc(disc_params, frozen, latents, emb, rng) -> (B, K) logits``
+    is the pixel-space projected-discriminator apply (VAE decode + frozen
+    DINO features + trainable spectral heads) required iff
+    ``cfg.adv_tower == 'dino'``; ``frozen`` arrives as the ``disc_frozen``
+    batch entry (replicated — frozen judge weights), ``disc_params`` is
+    ``state.params_fake['disc']`` (the trainable heads, updated by the psi
+    optimizer in the psi phase), and ``rng`` drives DiffAugment.
+
+    ``mesh`` (optional, >1-device): pins every phase-boundary activation
+    (drawn latents, sampler outputs, denoise outputs) to batch sharding via
+    ``with_sharding_constraint`` so the SPMD partitioner never falls back to
+    involuntary full rematerialization when propagating between the fsdp
+    parameter layout and the batch layout.  The constraint transposes to the
+    cotangents too, anchoring the backward pass.
+
+    ``batch`` (text already encoded — the text tower is frozen, so encoding
+    happens once per batch outside both phases, unlike the reference which
+    re-tokenises inside every denoise call):
+      - ``emb_fake``: (A, mb, L, D) prompt embeddings for the psi phase
+      - ``emb_g``:    (A, mb, L, D) prompt embeddings for the theta phase
+      - ``uncond_emb``: (L, D) embedding of the empty prompt
+      - ``lat_real``/``emb_real``: (A, mb, h, w, c)/(A, mb, L, D) VAE latents
+        of real images and their caption embeddings (adversarial mode only)
+    where A = accumulation rounds and mb = global microbatch.
+    """
+    L = make_loss_fns(
+        unet_apply, scheduler, cfg,
+        fake_transform=fake_transform, unet_encode=unet_encode,
+        mesh=mesh, pixel_disc=pixel_disc,
+    )
+    pixel_mode = L.pixel_mode
+    _draw, _generate = L.draw, L.generate
+    _psi_loss, _g_loss = L.psi_loss, L.g_loss
+    _psi_aux_zero, _g_aux_zero = L.psi_aux_zero, L.g_aux_zero
 
     def _dropout_context(rng, emb, uncond_b):
         keep = jax.random.uniform(rng, (emb.shape[0],)) >= cfg.context_dropout
