@@ -142,6 +142,157 @@ def resolve(name_or_repo: str) -> SDConfig:
     raise KeyError(f"unknown model preset {name_or_repo!r}")
 
 
+def config_from_hf_json(model_dir: str) -> SDConfig:
+    """Build an ``SDConfig`` from an HF-layout checkpoint's own config jsons.
+
+    The reference loads architectures straight from hub config jsons
+    (``/root/reference/training/sid_sd_util.py:58-79`` via diffusers
+    ``from_pretrained``); this is the same contract on local directories:
+    ``unet/config.json`` is required, ``vae/config.json`` /
+    ``text_encoder/config.json`` / ``scheduler/scheduler_config.json``
+    refine their parts when present (dataclass defaults are the SD1.5
+    values).  Raises ``FileNotFoundError`` if ``unet/config.json`` is
+    absent — callers fall back to shape sniffing.
+    """
+    import json
+    import os
+
+    def _load(*parts):
+        path = os.path.join(model_dir, *parts)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    uc = _load("unet", "config.json")
+    if uc is None:
+        raise FileNotFoundError(os.path.join(model_dir, "unet", "config.json"))
+
+    def _fields(cls, src, rename=()):
+        names = {f.name for f in dataclasses.fields(cls)}
+        out = {k: v for k, v in src.items() if k in names}
+        for json_key, field in rename:
+            if json_key in src:
+                out[field] = src[json_key]
+        for k, v in out.items():
+            if isinstance(v, list):
+                out[k] = tuple(v)
+        return out
+
+    n_levels = len(uc.get("block_out_channels", (320, 640, 1280, 1280)))
+    ukw = _fields(UNetConfig, uc)
+    # diffusers quirk: ``attention_head_dim`` historically stores the HEAD
+    # COUNT (8 for SD1.5, [5,10,20,20] for SD2.1) and is used as
+    # num_attention_heads when the latter is None (diffusers
+    # unet_2d_condition.py).
+    heads = uc.get("num_attention_heads") or uc.get("attention_head_dim", 8)
+    if not isinstance(heads, (list, tuple)):
+        heads = [heads] * n_levels
+    ukw["num_attention_heads"] = tuple(heads)
+    if "down_block_types" in uc:
+        ukw["cross_attention_levels"] = tuple(
+            "CrossAttn" in t for t in uc["down_block_types"]
+        )
+    tlpb = uc.get("transformer_layers_per_block", 1)
+    ukw["transformer_layers_per_block"] = (
+        tlpb[0] if isinstance(tlpb, (list, tuple)) else tlpb
+    )
+    unet = UNetConfig(**ukw)
+
+    vc = _load("vae", "config.json")
+    vae = VAEConfig(**_fields(VAEConfig, vc)) if vc else VAEConfig()
+
+    tc = _load("text_encoder", "config.json")
+    text = CLIPTextConfig(**_fields(CLIPTextConfig, tc)) if tc else CLIPTextConfig()
+
+    sc = _load("scheduler", "scheduler_config.json") or {}
+    return SDConfig(
+        name=os.path.basename(os.path.normpath(model_dir)),
+        unet=unet,
+        vae=vae,
+        text=text,
+        prediction_type=sc.get("prediction_type", "epsilon"),
+        resolution=unet.sample_size * vae.vae_scale_factor,
+    )
+
+
+def write_hf_config_jsons(model_dir: str, cfg: SDConfig) -> None:
+    """Emit the HF-layout config jsons ``config_from_hf_json`` reads — the
+    diffusers/transformers field names, so a directory written by this
+    framework round-trips through the same loader as a real HF checkpoint."""
+    import json
+    import os
+
+    u = cfg.unet
+    unet_json = {
+        "_class_name": "UNet2DConditionModel",
+        "sample_size": u.sample_size,
+        "in_channels": u.in_channels,
+        "out_channels": u.out_channels,
+        "block_out_channels": list(u.block_out_channels),
+        "layers_per_block": u.layers_per_block,
+        "cross_attention_dim": u.cross_attention_dim,
+        "attention_head_dim": list(u.num_attention_heads),
+        "use_linear_projection": u.use_linear_projection,
+        "norm_num_groups": u.norm_num_groups,
+        "norm_eps": u.norm_eps,
+        "transformer_layers_per_block": u.transformer_layers_per_block,
+        "flip_sin_to_cos": u.flip_sin_to_cos,
+        "freq_shift": u.freq_shift,
+        "down_block_types": [
+            "CrossAttnDownBlock2D" if x else "DownBlock2D"
+            for x in u.cross_attention_levels
+        ],
+        "up_block_types": [
+            "CrossAttnUpBlock2D" if x else "UpBlock2D"
+            for x in reversed(u.cross_attention_levels)
+        ],
+    }
+    v = cfg.vae
+    vae_json = {
+        "_class_name": "AutoencoderKL",
+        "in_channels": v.in_channels,
+        "out_channels": v.out_channels,
+        "latent_channels": v.latent_channels,
+        "block_out_channels": list(v.block_out_channels),
+        "layers_per_block": v.layers_per_block,
+        "norm_num_groups": v.norm_num_groups,
+        "scaling_factor": v.scaling_factor,
+        "force_upcast": v.force_upcast,
+    }
+    t = cfg.text
+    text_json = {
+        "architectures": ["CLIPTextModel"],
+        "vocab_size": t.vocab_size,
+        "hidden_size": t.hidden_size,
+        "intermediate_size": t.intermediate_size,
+        "num_hidden_layers": t.num_hidden_layers,
+        "num_attention_heads": t.num_attention_heads,
+        "max_position_embeddings": t.max_position_embeddings,
+        "hidden_act": t.hidden_act,
+        "layer_norm_eps": t.layer_norm_eps,
+    }
+    sched_json = {
+        "_class_name": "DDPMScheduler",
+        "prediction_type": cfg.prediction_type,
+        "beta_start": 0.00085,
+        "beta_end": 0.012,
+        "beta_schedule": "scaled_linear",
+        "num_train_timesteps": 1000,
+    }
+    for sub, payload in (("unet", unet_json), ("vae", vae_json),
+                         ("text_encoder", text_json)):
+        os.makedirs(os.path.join(model_dir, sub), exist_ok=True)
+        with open(os.path.join(model_dir, sub, "config.json"), "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+            f.write("\n")
+    os.makedirs(os.path.join(model_dir, "scheduler"), exist_ok=True)
+    with open(os.path.join(model_dir, "scheduler",
+                           "scheduler_config.json"), "w") as f:
+        json.dump(sched_json, f, indent=2, sort_keys=True)
+        f.write("\n")
+
+
 def scaled_unet_config(base: UNetConfig, width: float) -> UNetConfig:
     """Channel-scaled UNet variant for benches/AOT proofs, snapped to
     multiples of 64 so /32 GroupNorm groups and /8 head splits stay valid.

@@ -219,13 +219,12 @@ class SDPipeline:
 
 
 def _sniff_config(model_dir: str) -> SDConfig:
-    """Pick SD1.5 vs SD2.1-base from the checkpoint's own config json."""
-    import json
+    """Build the architecture from the checkpoint's own config jsons (the
+    reference's contract, sid_sd_util.py:58-79); checkpoints without an
+    ``unet/config.json`` fall back to SD1.5 (the published default)."""
+    from .models.configs import config_from_hf_json
 
-    cfg_path = os.path.join(model_dir, "unet", "config.json")
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            c = json.load(f)
-        if c.get("cross_attention_dim") == 1024:
-            return resolve("sd21base")
-    return resolve("sd15")
+    try:
+        return config_from_hf_json(model_dir)
+    except FileNotFoundError:
+        return resolve("sd15")

@@ -49,6 +49,13 @@ def main():
     save_file(f16(export_clip_text(pipe.params["text"], TINY.text)),
               os.path.join(out_dir, "text_encoder", "model.safetensors"))
 
+    # HF-layout config jsons so SDPipeline.from_pretrained builds the
+    # architecture from the checkpoint itself (config_from_hf_json), exactly
+    # as it will on a real SD checkpoint directory.
+    from sid_lsg_tpu.models.configs import write_hf_config_jsons
+
+    write_hf_config_jsons(out_dir, TINY)
+
     # Goldens must come from the f16-rounded weights actually in the files.
     from sid_lsg_tpu.models.convert import load_sd_checkpoint
 

@@ -62,3 +62,26 @@ def test_fixture_detects_transpose_mutation(fixture_pipe):
     x0 = fixture_pipe.generate_latents(
         jnp.asarray(golden["latents"]), jnp.asarray(golden["emb"]), params=mutated)
     assert not np.allclose(np.asarray(x0), golden["x0"], atol=5e-4, rtol=1e-3)
+
+
+def test_from_pretrained_builds_config_from_checkpoint_jsons(fixture_pipe):
+    """``SDPipeline.from_pretrained`` on a checkpoint DIRECTORY must build the
+    architecture from the checkpoint's own config jsons (the reference loads
+    architectures from hub configs, sid_sd_util.py:58-79) — not from a preset
+    guess.  The fixture carries HF-layout config.json files; the loaded
+    pipeline must match TINY field-for-field and reproduce the golden."""
+    import jax.numpy as jnp
+
+    from sid_lsg_tpu.models.configs import TINY, config_from_hf_json
+    from sid_lsg_tpu.pipeline import SDPipeline
+
+    cfg = config_from_hf_json(FIXTURE)
+    assert (cfg.unet, cfg.vae, cfg.text) == (TINY.unet, TINY.vae, TINY.text)
+    assert cfg.prediction_type == TINY.prediction_type
+    assert cfg.resolution == TINY.resolution
+
+    pipe = SDPipeline.from_pretrained(FIXTURE)
+    golden = np.load(os.path.join(FIXTURE, "golden.npz"))
+    x0 = pipe.generate_latents(jnp.asarray(golden["latents"]),
+                               jnp.asarray(golden["emb"]))
+    np.testing.assert_allclose(np.asarray(x0), golden["x0"], atol=5e-4, rtol=1e-3)
