@@ -46,7 +46,17 @@ def convert_coco(
     caption_by_id: dict = {}
     for a in ann["annotations"]:
         caption_by_id.setdefault(a["image_id"], a["caption"].strip())
-    os.makedirs(dest, exist_ok=True)
+    # Output is a folder of img+txt pairs, or (reference training/dataset.py
+    # zip-ingestion parity) the same pairs inside a .zip archive that
+    # data/mscoco.CocoCaptionDataset reads directly.
+    as_zip = dest.endswith(".zip")
+    zf = None
+    if as_zip:
+        import zipfile
+
+        zf = zipfile.ZipFile(dest, "w", zipfile.ZIP_STORED)
+    else:
+        os.makedirs(dest, exist_ok=True)
     count = 0
     captions = []
     for image_id in sorted(caption_by_id):
@@ -57,12 +67,23 @@ def convert_coco(
             continue
         img = Image.open(src).convert("RGB")
         img = center_crop_resize(img, resolution)
-        base = os.path.join(dest, f"{count:08d}")
-        img.save(base + ".png")
-        with open(base + ".txt", "w", encoding="utf-8") as f:
-            f.write(caption_by_id[image_id])
+        if as_zip:
+            import io
+
+            buf = io.BytesIO()
+            img.save(buf, format="png")
+            zf.writestr(f"{count:08d}.png", buf.getvalue())
+            zf.writestr(f"{count:08d}.txt",
+                        caption_by_id[image_id].encode("utf-8"))
+        else:
+            base = os.path.join(dest, f"{count:08d}")
+            img.save(base + ".png")
+            with open(base + ".txt", "w", encoding="utf-8") as f:
+                f.write(caption_by_id[image_id])
         captions.append(caption_by_id[image_id].replace("\n", " "))
         count += 1
+    if zf is not None:
+        zf.close()
     if captions_out:
         # The eval caption corpus (reference prompts/captions.txt, consumed by
         # generate_onestep.py:120): line i is the prompt for seed i, ordered
@@ -75,7 +96,8 @@ def convert_coco(
 @click.command()
 @click.option("--source", help="COCO val2014 images directory", type=str, required=True)
 @click.option("--annotations", help="captions_val2014.json", type=str, required=True)
-@click.option("--dest", help="Output folder (img+txt pairs)", type=str, required=True)
+@click.option("--dest", help="Output folder or .zip archive (img+txt pairs)",
+              type=str, required=True)
 @click.option("--resolution", type=int, default=256, show_default=True)
 @click.option("--max-images", "max_images", type=int, default=None)
 @click.option("--captions-out", "captions_out", type=str, default=None,

@@ -1,62 +1,113 @@
-"""MS-COCO eval dataset: paired image + caption files.
+"""MS-COCO eval dataset: paired image + caption files, from a dir or zip.
 
 Covers reference ``training/mscoco_dataset.py`` (recursive ``img.png`` +
 sibling ``img.txt`` pairing via blobfile, lines 11-24; uint8 CHW + caption at
-46-68).  Differences: plain ``os.walk`` instead of blobfile (local-dir eval
-corpus), NHWC uint8 output (TPU layout), and batch iteration with
-process-striding for multi-host metric runs (the role of the rank-strided
-``item_subset`` at reference ``sid_metric_utils.py:274``).
+46-68) plus the directory-or-zip ingestion of the reference's base dataset
+(``training/dataset.py:168-203``) — so an archive produced by
+``dataset_tool --dest out.zip`` or ``cocodataset_tool --dest out.zip`` feeds
+the metric stack directly.  Differences from the reference: NHWC uint8 output
+(TPU layout) and batch iteration with process-striding for multi-host metric
+runs (the role of the rank-strided ``item_subset`` at reference
+``sid_metric_utils.py:274``).
+
+Captions: an image's caption is its sibling ``<base>.txt`` when present,
+else the empty string (``dataset_tool`` archives carry no captions — they
+still serve FID real-stats, which ignore captions).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+import zipfile
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg")
 
 
-def _list_pairs(root: str) -> List[Tuple[str, str]]:
-    pairs = []
-    for dirpath, _, files in os.walk(root):
-        names = set(files)
-        for f in sorted(files):
-            base, ext = os.path.splitext(f)
-            if ext.lower() in _IMG_EXTS and base + ".txt" in names:
-                pairs.append(
-                    (os.path.join(dirpath, f), os.path.join(dirpath, base + ".txt"))
-                )
-    return sorted(pairs)
+class _DirBackend:
+    def __init__(self, root: str):
+        self.root = root
+        self.fnames = sorted(
+            os.path.relpath(os.path.join(dirpath, f), root)
+            for dirpath, _, files in os.walk(root)
+            for f in files
+        )
+
+    def open(self, fname: str):
+        return open(os.path.join(self.root, fname), "rb")
+
+
+class _ZipBackend:
+    """Zip archive reader (reference training/dataset.py:201-213 semantics).
+
+    The handle is opened lazily and dropped on pickling — zipfile handles
+    are not fork/pickle-safe (same treatment as the reference's
+    ``__getstate__``)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._zf: Optional[zipfile.ZipFile] = None
+        with zipfile.ZipFile(path) as zf:
+            self.fnames = sorted(n for n in zf.namelist() if not n.endswith("/"))
+
+    def _zip(self) -> zipfile.ZipFile:
+        if self._zf is None:
+            self._zf = zipfile.ZipFile(self.path)
+        return self._zf
+
+    def open(self, fname: str):
+        return self._zip().open(fname, "r")
+
+    def __getstate__(self):
+        return dict(self.__dict__, _zf=None)
 
 
 class CocoCaptionDataset:
-    """(uint8 HWC image, caption) pairs from a prepared eval folder."""
+    """(uint8 HWC image, caption) pairs from a prepared eval folder or zip."""
 
     def __init__(self, path: str, resolution: Optional[int] = None, max_size: Optional[int] = None):
         self.path = path
         self.resolution = resolution
-        self.pairs = _list_pairs(path)
+        if os.path.isdir(path):
+            self._backend = _DirBackend(path)
+            self.name = os.path.basename(os.path.normpath(path))
+        elif os.path.splitext(path)[1].lower() == ".zip":
+            self._backend = _ZipBackend(path)
+            self.name = os.path.splitext(os.path.basename(path))[0]
+        else:
+            raise IOError(f"{path!r} must point to a directory or .zip archive")
+        names = set(self._backend.fnames)
+        self.pairs = []
+        for f in self._backend.fnames:
+            base, ext = os.path.splitext(f)
+            if ext.lower() in _IMG_EXTS:
+                txt = base + ".txt"
+                self.pairs.append((f, txt if txt in names else None))
         if max_size is not None:
             self.pairs = self.pairs[:max_size]
         if not self.pairs:
-            raise FileNotFoundError(f"no image+caption pairs under {path}")
-        self.name = os.path.basename(os.path.normpath(path))
+            raise FileNotFoundError(f"no images under {path}")
 
     def __len__(self) -> int:
         return len(self.pairs)
 
+    def _caption(self, txt_name: Optional[str]) -> str:
+        if txt_name is None:
+            return ""
+        with self._backend.open(txt_name) as f:
+            return f.read().decode("utf-8").strip()
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, str]:
         from PIL import Image
 
-        img_path, txt_path = self.pairs[idx]
-        img = Image.open(img_path).convert("RGB")
+        img_name, txt_name = self.pairs[idx]
+        with self._backend.open(img_name) as f:
+            img = Image.open(f).convert("RGB")
         if self.resolution is not None and img.size != (self.resolution, self.resolution):
             img = img.resize((self.resolution, self.resolution), Image.LANCZOS)
-        with open(txt_path, encoding="utf-8") as f:
-            caption = f.read().strip()
-        return np.asarray(img, dtype=np.uint8), caption
+        return np.asarray(img, dtype=np.uint8), self._caption(txt_name)
 
     def batches(
         self,
@@ -75,8 +126,4 @@ class CocoCaptionDataset:
 
     def captions(self, max_items: Optional[int] = None) -> List[str]:
         n = len(self) if max_items is None else min(len(self), max_items)
-        out = []
-        for i in range(n):
-            with open(self.pairs[i][1], encoding="utf-8") as f:
-                out.append(f.read().strip())
-        return out
+        return [self._caption(self.pairs[i][1]) for i in range(n)]
