@@ -61,6 +61,72 @@ def test_cocodataset_tool(tmp_path):
         convert_coco(src, ann_path, str(tmp_path / "bad"), resolution=48)
 
 
+def test_cocodataset_tool_zip_roundtrip(tmp_path):
+    """Zip ingestion parity (reference training/dataset.py:168-203): the same
+    corpus written as a folder and as a .zip must produce identical images,
+    captions and batch streams through CocoCaptionDataset."""
+    import pickle
+
+    from sid_lsg_tpu.cli.cocodataset_tool import convert_coco
+    from sid_lsg_tpu.data import CocoCaptionDataset
+
+    src = str(tmp_path / "val2014")
+    names = _make_images(src)
+    ann = {
+        "images": [{"id": i, "file_name": n} for i, n in enumerate(names)],
+        "annotations": [
+            {"image_id": i, "caption": f"caption {i}"} for i in range(len(names))
+        ],
+    }
+    ann_path = str(tmp_path / "captions_val2014.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    folder = str(tmp_path / "coco")
+    archive = str(tmp_path / "coco.zip")
+    assert convert_coco(src, ann_path, folder, resolution=32, max_images=4) == 4
+    assert convert_coco(src, ann_path, archive, resolution=32, max_images=4) == 4
+
+    ds_dir = CocoCaptionDataset(folder)
+    ds_zip = CocoCaptionDataset(archive)
+    assert len(ds_dir) == len(ds_zip) == 4
+    assert ds_zip.name == "coco"
+    for i in range(4):
+        img_d, cap_d = ds_dir[i]
+        img_z, cap_z = ds_zip[i]
+        np.testing.assert_array_equal(img_d, img_z)
+        assert cap_d == cap_z == f"caption {i}"
+    assert ds_dir.captions() == ds_zip.captions()
+    # identical batch stream (the metric-stack entry point)
+    for (bi_d, bc_d), (bi_z, bc_z) in zip(ds_dir.batches(3), ds_zip.batches(3)):
+        np.testing.assert_array_equal(bi_d, bi_z)
+        assert bc_d == bc_z
+    # zip handles are not fork/pickle-safe; the backend must drop and reopen
+    ds2 = pickle.loads(pickle.dumps(ds_zip))
+    np.testing.assert_array_equal(ds2[1][0], ds_zip[1][0])
+
+
+def test_dataset_tool_zip_feeds_metric_dataset(tmp_path):
+    """A dataset_tool --dest out.zip archive (pngs + dataset.json, no captions)
+    must load for FID real-stats: images readable, captions empty."""
+    src = str(tmp_path / "imgs")
+    _make_images(src, n=3)
+    dest = str(tmp_path / "out.zip")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "-m", "sid_lsg_tpu.cli.dataset_tool",
+         "--source", src, "--dest", dest, "--resolution", "16"],
+        capture_output=True, text=True, timeout=120,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    from sid_lsg_tpu.data import CocoCaptionDataset
+
+    ds = CocoCaptionDataset(dest)
+    assert len(ds) == 3
+    img, cap = ds[0]
+    assert img.shape == (16, 16, 3) and cap == ""
+
+
 def test_dataset_tool_folder_to_zip(tmp_path):
     src = str(tmp_path / "imgs")
     _make_images(src, n=3)
@@ -285,3 +351,24 @@ def test_figure_prompts_match_golden_images():
             # (figure1 ships one extra unprompted sample — allow >=)
             assert len(pngs) >= n, (d, len(pngs), n)
             assert sorted(pngs)[0] == "000000.png"
+
+
+def test_prepare_weights_drill(tmp_path):
+    """Weights-arrival readiness drill (VERDICT r3 #10): every
+    `prepare_weights.py` subcommand end-to-end on synthetic artifact-shaped
+    inputs — sd (fixture load + generation smoke), inception/clip/dino
+    (synthetic torch checkpoints through convert/validate/save + the
+    metrics/detectors consumer path), snapshot ({'ema': ...} pickle ->
+    safetensors), golden (grid + fixture compare)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "scripts/prepare_weights.py", "verify",
+         "--workdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=1500,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    verdict = json.loads(r.stdout.strip().splitlines()[-1])
+    assert verdict["drill"] == "pass"
+    assert verdict["steps"] == ["sd", "inception", "clip", "dino",
+                                "snapshot", "golden"]
