@@ -213,6 +213,44 @@ class DiscHead(nn.Module):
                               name="cls")(h, update_u)
 
 
+def refresh_spectral_u(disc_params: dict, spectral: dict, iters: int = 3) -> dict:
+    """Advance every head's power-iteration vector ``u`` against the CURRENT
+    kernels — the persistent-``u`` semantics of torch ``spectral_norm``
+    (reference ``networks/discriminator.py:78-105`` wraps its convs in
+    ``torch.nn.utils.spectral_norm``, whose ``u`` buffer persists and tracks
+    the drifting kernel across steps).
+
+    Inside the jitted distillation step the estimate is stateless — ``iters``
+    sweeps from whatever ``u`` rides in the replicated ``disc_frozen`` batch
+    entry.  From the INIT ``u`` that under-estimates sigma by 6-11% once the
+    kernels drift (measured, tests/test_stylegan_t.py); refreshed every step
+    by the Trainer, ``u`` stays converged and the in-step estimate lands
+    within ~1% of the exact SVD.  Pure function: jit it and feed the NEXT
+    step's batch (one-step lag, same as torch's half-step lag).
+
+    Tree-walks ``spectral`` (paths ``.../conv/u`` mirroring ``.../conv/
+    {kernel,bias}`` in ``disc_params``), so it never hardcodes head names.
+    """
+
+    def walk(sp, pp):
+        out = {}
+        for k, v in sp.items():
+            if k == "u":
+                w = pp["kernel"]  # (features, c_in * kernel_size)
+                u = v
+                for _ in range(iters):
+                    vv = w.T @ u
+                    vv = vv / (jnp.linalg.norm(vv) + 1e-12)
+                    u = w @ vv
+                    u = u / (jnp.linalg.norm(u) + 1e-12)
+                out[k] = u
+            else:
+                out[k] = walk(v, pp[k])
+        return out
+
+    return walk(spectral, disc_params)
+
+
 def diff_augment(rng: jax.Array, x: jnp.ndarray,
                  policy: Sequence[str] = ("color", "translation", "cutout")) -> jnp.ndarray:
     """DiffAugment on NCHW images in [-1,1] (differentiable, rng-driven)."""
