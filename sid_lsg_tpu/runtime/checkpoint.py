@@ -244,6 +244,34 @@ def load_generator_params(path: str, unet_cfg: Optional[UNetConfig] = None) -> d
     return convert_unet(sd, unet_cfg)
 
 
+def _match_template_shardings(restored: Any, template: Any) -> Any:
+    """Re-pin restored leaves to the template's shardings where orbax didn't.
+
+    ``StandardRestore(template)`` honors the template sharding for array
+    leaves, but 0-d scalars (step counters, nimg, optimizer counts) come back
+    ``SingleDeviceSharding`` — harmless single-process (jit re-shards an
+    addressable array), FATAL on a multi-process mesh where the train step's
+    explicit in_shardings require NamedSharding(mesh, P()) and cross-process
+    resharding is impossible (found by
+    tests/test_multiprocess.py::test_two_process_fsdp_training's resume leg).
+    Mismatched leaves must be fully addressable (replicated/scalar — sharded
+    leaves restore with correct shardings); rebuilt with
+    ``make_array_from_callback`` which handles shardings spanning
+    non-addressable devices."""
+
+    def fix(r, t):
+        t_sharding = getattr(t, "sharding", None)
+        if t_sharding is None or (
+            isinstance(r, jax.Array) and r.sharding == t_sharding
+        ):
+            return r
+        arr = np.asarray(r)
+        return jax.make_array_from_callback(arr.shape, t_sharding,
+                                            lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(fix, restored, template)
+
+
 # ---------------------------------------------------------------------------
 # Orbax training-state manager
 
@@ -278,9 +306,10 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError("no checkpoint to restore")
-        if template is not None:
-            return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
-        return self._mgr.restore(step)
+        if template is None:
+            return self._mgr.restore(step)
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return _match_template_shardings(restored, template)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

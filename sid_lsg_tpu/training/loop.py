@@ -40,6 +40,10 @@ from ..utils.util import EasyDict, format_time
 from .distill import DistillConfig, make_train_step
 from .state import SiDState, init_state, make_optimizer
 
+# Early ticks that get sample grids regardless of the uniform cadence
+# (reference sid_training_loop.py:597).
+EARLY_SAMPLE_TICKS = (2, 4, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100)
+
 
 @dataclasses.dataclass
 class TrainConfig:
@@ -222,6 +226,7 @@ class Trainer:
         # so the psi optimizer updates them in the psi phase.
         self._pixel_disc = None
         self._disc_frozen = None
+        self._refresh_spectral = None
         disc_head_init = None
         if self.dcfg.adversarial and cfg.adv_tower == "dino":
             from ..models.stylegan_discriminator import (
@@ -230,8 +235,11 @@ class Trainer:
 
             vit_cfg = TINY_VIT if cfg.adv_vit == "tiny" else DINO_VIT_S16
             text_dim = sd_cfg.unet.cross_attention_dim
-            # power_iters=3: stateless spectral norm inside the jitted step
-            # (u stays at init; see models/stylegan_discriminator.py).
+            # power_iters=3 sweeps inside the jitted step, from the PERSISTENT
+            # u the Trainer refreshes against the updated kernels after every
+            # step (refresh_spectral_u — torch spectral_norm's persistent-u
+            # semantics; from a fixed init-u the sigma estimate decays 6-11%
+            # as kernels drift, measured in tests/test_stylegan_t.py).
             disc = ProjectedDiscriminator(c_dim=text_dim, vit=vit_cfg,
                                           power_iters=3)
             res = sd_cfg.resolution  # pixel size the VAE decodes to
@@ -274,6 +282,16 @@ class Trainer:
                 {"vae": decode_params(self.pipe.params["vae"]),
                  "dino": dino_params,
                  "spectral": dict(dvars["spectral"])},
+            )
+            from ..models.stylegan_discriminator import refresh_spectral_u
+
+            # Persistent-u: advance each head's power-iteration vector against
+            # the kernels the psi phase just updated; feeds the NEXT step's
+            # disc_frozen.  Replicated in/out (tiny matvecs), jitted once.
+            self._refresh_spectral = jax.jit(
+                refresh_spectral_u,
+                out_shardings=jax.tree_util.tree_map(
+                    lambda _: rep, dict(dvars["spectral"])),
             )
         wd = cfg.weight_decay if cfg.optimizer == "adamw" else 0.0
         self.opt_g = make_optimizer(lr=cfg.glr, eps=cfg.adam_eps,
@@ -431,16 +449,24 @@ class Trainer:
         self._vae_global = None
 
     def _shard_state(self, state: SiDState) -> SiDState:
+        """Place EVERY leaf — including 0-d scalars (step/nimg/optimizer
+        counts) — onto the mesh with the production shardings.  Leaving
+        scalars as plain ``jnp`` values looks harmless (they are uncommitted,
+        so the compiled step silently reshards them), but it poisons the
+        RESUME path: the restore template is this state, orbax restores
+        committed ``SingleDeviceSharding`` scalars matching it, and a
+        multi-process compiled step then rejects them at the input-sharding
+        check (found by test_multiprocess.py::test_two_process_fsdp_training's
+        resume leg)."""
         place = lambda tree: shard_params(tree, self.mesh)
-        arr = lambda x: place(x) if hasattr(x, "ndim") and x.ndim > 0 else x
         return SiDState(
-            step=state.step,
-            nimg=state.nimg,
+            step=place(state.step),
+            nimg=place(state.nimg),
             params_G=place(state.params_G),
             params_fake=place(state.params_fake),
             ema=place(state.ema),
-            opt_G=jax.tree_util.tree_map(arr, state.opt_G),
-            opt_fake=jax.tree_util.tree_map(arr, state.opt_fake),
+            opt_G=place(state.opt_G),
+            opt_fake=place(state.opt_fake),
         )
 
     # ------------------------------------------------------------------ io
@@ -656,8 +682,11 @@ class Trainer:
         lat = seeded_latents(list(range(n)), self.dcfg.latent_size,
                              self.dcfg.latent_channels)
         imgs = self._eval_images(prompts, lat, num_steps_eval)
+        # Reference naming: fakes_{alpha:03f}_{kimg:06d}_{steps}.png
+        # (sid_training_loop.py:614).
         path = os.path.join(
-            self.cfg.run_dir, f"fakes-steps{num_steps_eval}-{kimg:06d}.png"
+            self.cfg.run_dir,
+            f"fakes_{self.cfg.alpha:03f}_{kimg:06d}_{num_steps_eval:d}.png",
         )
         if runtime.get_process_index() == 0:
             save_image_grid(imgs, path)
@@ -705,6 +734,16 @@ class Trainer:
                 profiling = True
             batch = self.next_batch()
             self.state, metrics = self.train_step(self.state, self.teacher, batch, rng)
+            if self._refresh_spectral is not None:
+                # Persistent spectral-norm u: track the kernels this step just
+                # updated (device-side chain, no host sync; one-step lag —
+                # torch spectral_norm semantics, see refresh_spectral_u).
+                self._disc_frozen = dict(
+                    self._disc_frozen,
+                    spectral=self._refresh_spectral(
+                        self.state.params_fake["disc"],
+                        self._disc_frozen["spectral"]),
+                )
             if profiling and step_idx + 1 >= cfg.profile_start_step + cfg.profile_steps:
                 from ..utils.misc import stop_profiler_trace
 
@@ -770,10 +809,18 @@ class Trainer:
             # snapshot gathers and metric loops all involve every host; file
             # writes stay host-0 inside).  run_dir is on a shared filesystem,
             # so the isdir gates agree across hosts.
-            if (cfg.sample_ticks and cur_tick % cfg.sample_ticks == 0
-                    and os.path.isdir(cfg.run_dir)):
-                for nse in (1, 2, 4) if cfg.num_steps > 1 else (1,):
-                    self.pipe.params["generator"] = self.state.ema
+            # Grid cadence parity (sid_training_loop.py:597-614): grids for
+            # num_steps_eval in [1,2,4] unconditionally, on the uniform
+            # cadence PLUS an early-tick list (dense visual feedback while
+            # training finds its feet) and on the final tick.
+            want_grids = (
+                cfg.sample_ticks and os.path.isdir(cfg.run_dir)
+                and (done or cur_tick % cfg.sample_ticks == 0
+                     or cur_tick in EARLY_SAMPLE_TICKS)
+            )
+            if want_grids:
+                self.pipe.params["generator"] = self.state.ema
+                for nse in (1, 2, 4):
                     self.sample_grid(cur_nimg // 1000, num_steps_eval=nse)
             if cfg.snapshot_ticks and cur_tick and cur_tick % cfg.snapshot_ticks == 0:
                 snap_path = (

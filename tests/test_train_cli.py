@@ -55,7 +55,11 @@ def test_sid_train_cli_ticks_snapshots_and_resume(tmp_path):
     assert "training_options.json" in names
     assert "log.txt" in names
     assert any(n.startswith("stats_") and n.endswith(".jsonl") for n in names)
-    assert any(n.startswith("fakes") and n.endswith(".png") for n in names)
+    # Grid cadence/naming parity (sid_training_loop.py:597-614): grids for
+    # num_steps_eval in [1,2,4] unconditionally, reference file pattern
+    # fakes_{alpha:03f}_{kimg:06d}_{steps}.png (alpha defaults to 1).
+    for steps in (1, 2, 4):
+        assert f"fakes_1.000000_000000_{steps}.png" in names, sorted(names)
     snaps = [n for n in names if "network" in n or "snapshot" in n]
     assert snaps, f"no snapshot written at --snap 1: {sorted(names)}"
 
