@@ -18,3 +18,54 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# Multi-process coverage surfacing (VERDICT r3 #7): the 2-process tests skip
+# (with evidence) when Gloo's 30s rendezvous starves on a contended box — a
+# green suite could silently contain ZERO multi-process coverage.  Record the
+# per-test outcome of tests/test_multiprocess.py into MP_STATUS.json at the
+# repo root so the round artifacts capture it, and keep a consecutive
+# all-skipped counter across sessions so starvation can't read as durable
+# green: after 3 consecutive fully-skipped sessions the suite FAILS.
+
+_MP_RESULTS = {}
+_MP_SKIP_ESCALATION = 3
+
+
+def pytest_runtest_logreport(report):
+    if "test_multiprocess.py" not in report.nodeid:
+        return
+    if report.when == "call" or (report.when == "setup" and report.skipped):
+        _MP_RESULTS[report.nodeid.split("::")[-1]] = report.outcome
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not _MP_RESULTS:
+        return
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "MP_STATUS.json")
+    try:
+        with open(path) as f:
+            prev_streak = json.load(f).get("consecutive_all_skipped", 0)
+    except (OSError, ValueError):
+        prev_streak = 0
+    all_skipped = all(o == "skipped" for o in _MP_RESULTS.values())
+    streak = prev_streak + 1 if all_skipped else 0
+    status = {
+        "tests": dict(sorted(_MP_RESULTS.items())),
+        "all_skipped": all_skipped,
+        "consecutive_all_skipped": streak,
+    }
+    try:
+        with open(path, "w") as f:
+            json.dump(status, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+    if streak >= _MP_SKIP_ESCALATION:
+        session.exitstatus = 1
+        print(f"\nFAIL: multi-process tests skipped {streak} sessions in a row "
+              f"(see {path}) — coverage has silently evaporated.")
