@@ -7,6 +7,19 @@ generate over the HPSv2 benchmark prompts (package if installed, else
 ``opts.hpsv2_prompts`` — a ``{style: [prompts]}`` dict or json path) and
 score with ``hpsv2`` or the bundled CLIP scorer (HPSv2 weights via
 ``SIDLSG_CLIP_WEIGHTS``).
+
+Aggregation contract (pinned by ``tests/test_metrics.py::
+test_hpsv2_aggregation_semantics``): the hpsv2 package's ``evaluate``
+scores each style benchmark independently and reports one mean per style
+(hpsv2/evaluation.py accumulates ``score[style]`` and prints each style's
+mean separately); the single summary number quoted alongside (and in the
+reference paper's Table 4, one column per style plus an average) is the
+UNWEIGHTED average of the four style means — NOT the mean over all pooled
+images.  ``hpsv2_mean`` follows that: mean over per-style means, so styles
+with unequal prompt counts (possible under the ``num_gen`` cap) still
+contribute equally.  ``num_gen // n_styles`` caps generation per style; the
+package itself scores the full 800-prompt benchmark per style — on weights
+day run with ``num_gen >= 3200`` for the published protocol.
 """
 
 from __future__ import annotations

@@ -236,6 +236,34 @@ def test_hpsv2_metric_offline():
     assert set(res.results) == {"hpsv2_photo", "hpsv2_anime", "hpsv2_mean"}
 
 
+def test_hpsv2_aggregation_semantics():
+    """Pin the aggregation to the hpsv2 package's ``evaluate`` semantics
+    (VERDICT r3 weak #7): one mean per style benchmark, and the summary
+    number is the UNWEIGHTED average of the style means — styles with
+    unequal prompt counts (possible under the ``num_gen`` cap) contribute
+    equally, NOT proportionally to their image counts.  A scorer returning
+    a distinct constant per style makes the two aggregations differ, so a
+    pooled-mean regression fails this test."""
+    from sid_lsg_tpu.pipeline import SDPipeline
+
+    by_prompt = {"p1": 0.2, "p2": 0.2, "p3": 0.2, "a1": 0.8}
+
+    class StyleScorer:
+        def score(self, images, prompts):
+            return np.array([by_prompt[p] for p in prompts], np.float32)
+
+    pipe = SDPipeline.random_init("tiny")
+    opts = MetricOptions(pipe=pipe, clip=StyleScorer(), batch_size=2,
+                         num_gen=6, verbose=False)
+    # num_gen//n_styles = 3 caps photo at 3 prompts; anime has only 1.
+    opts.hpsv2_prompts = {"photo": ["p1", "p2", "p3"], "anime": ["a1"]}
+    res = calc_metric("hpsv2", opts=opts)
+    np.testing.assert_allclose(res.results.hpsv2_photo, 0.2, atol=1e-6)
+    np.testing.assert_allclose(res.results.hpsv2_anime, 0.8, atol=1e-6)
+    # mean over style means = 0.5; pooled mean over 4 images would be 0.35.
+    np.testing.assert_allclose(res.results.hpsv2_mean, 0.5, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # HPSv2 scoring math (VERDICT r2 #7): the hpsv2 package's published score is
 # the PLAIN diagonal cosine of unit-normed open_clip features — no logit
