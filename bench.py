@@ -11,6 +11,15 @@ measured in BENCH_NOTES.md: 859M-param UNet, LoRA-psi, low-memory Adam
 (no-mu/bf16-nu), bf16 teacher storage, remat, bf16 compute, microbatch 4.
 Reports img/s/chip and MFU from XLA cost analysis over the v5e bf16 peak.
 
+Line 3 — the PAPER's optimizer layout on silicon (VERDICT r3 weak #2): psi
+as a full UNet copy with its own complete Adam chain (no LoRA,
+sid_training_loop.py:286-292), at the largest width that fits one v5e
+without LoRA (0.5x channels, 215.6M params), microbatch 4, low-memory Adam,
+bf16 teacher, flash remat.  An execution proof of the two-full-Adam-chain
+path, not a throughput headline; ``vs_baseline`` is FLOP-normalized against
+the paper-config estimate (useful TFLOP/s achieved vs the reference
+estimate's ~6.7 TFLOP/s) since the reference never ran a half-width UNet.
+
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
 uses documented estimates of the reference pipeline on one A100-80GB:
 - inference: ~12 img/s (torch fp16 + xformers, batch 16, 512px);
@@ -165,12 +174,87 @@ def bench_distill():
     }), flush=True)
 
 
+def bench_fullpsi():
+    """Full-psi (paper optimizer layout) at width 0.5 — mirrors the measured
+    `scripts/bench_train_step.py --model sd15 --width 0.5 --mb 4 --lowmem
+    --remat 1 --remat-policy flash --teacher-bf16` run (BENCH_NOTES round 4)
+    construction exactly, so the persistent compile cache is shared."""
+    from sid_lsg_tpu import models
+    from sid_lsg_tpu.diffusion import DDPMScheduler
+    from sid_lsg_tpu.training import (
+        DistillConfig, init_state, jit_train_step, make_optimizer, make_train_step,
+    )
+
+    ucfg = models.scaled_unet_config(models.SD15.unet, 0.5)
+    unet = models.UNet2DCondition(ucfg, dtype=jnp.bfloat16, remat=True,
+                                  remat_policy="flash")
+    apply = lambda p, x, t, c: unet.apply({"params": p}, x, t, c)
+
+    L, D = 77, ucfg.cross_attention_dim
+    lat = jnp.zeros((1, ucfg.sample_size, ucfg.sample_size, 4))
+    params = _zeros_params(unet, lat, jnp.zeros((1,), jnp.int32), jnp.zeros((1, L, D)))
+    cfg = DistillConfig(
+        latent_size=ucfg.sample_size, batch_size=TRAIN_MB,
+        cfg_train_fake=1.5, cfg_eval_fake=1.5, cfg_eval_real=1.5,
+        dtype=jnp.bfloat16,
+    )
+    # TWO low-mem Adam chains over full param trees — the reference's layout
+    # (sid_training_loop.py:286-292) with the single-chip memory recipe.
+    opt_g = make_optimizer(lr=1e-6, low_mem_state=True)
+    opt_f = make_optimizer(lr=1e-6, low_mem_state=True)
+    step = make_train_step(apply, DDPMScheduler(), cfg, opt_g, opt_f)
+    jstep = jit_train_step(step)
+
+    state = init_state(params, opt_g, opt_f)  # psi defaults to a full clone
+    teacher = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    for leaf in jax.tree_util.tree_leaves(params):
+        leaf.delete()
+    del params
+    batch = {
+        "emb_fake": jnp.zeros((1, TRAIN_MB, L, D)),
+        "emb_g": jnp.zeros((1, TRAIN_MB, L, D)),
+        "uncond_emb": jnp.zeros((L, D)),
+    }
+    rng = jax.random.PRNGKey(0)
+    compiled = jstep.lower(state, teacher, batch, rng).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    def sync(st):
+        leaf = jax.tree_util.tree_leaves(st.params_G)[0]
+        return float(leaf.reshape(-1)[0])
+
+    state, metrics = compiled(state, teacher, batch, rng)
+    sync(state)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        state, metrics = compiled(state, teacher, batch, rng)
+        sync(state)
+    dt = (time.perf_counter() - t0) / TRAIN_ITERS
+
+    img_per_sec = TRAIN_MB / dt
+    # FLOP-normalized vs the paper-config estimate: useful TFLOP/s achieved
+    # over the reference estimate's 0.55 img/s x 12.2 TFLOP/img = 6.71 TFLOP/s.
+    ref_flops_per_sec = BASELINE_TRAIN_PAPER_CFG * 12.2e12
+    print(json.dumps({
+        "metric": "sd15_halfwidth_fullpsi_distill_images_per_sec_per_chip",
+        "value": round(img_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round(flops / dt / ref_flops_per_sec, 3) if flops else None,
+        "ms_per_step": round(dt * 1000, 1),
+        "mfu": round(flops / dt / V5E_BF16_PEAK_FLOPS, 4) if flops else None,
+        "step_tflop": round(flops / 1e12, 2) if flops else None,
+    }), flush=True)
+
+
 def main():
     from sid_lsg_tpu.runtime.compile_cache import enable as enable_compile_cache
 
     enable_compile_cache()
     bench_onestep()
     bench_distill()
+    bench_fullpsi()
 
 
 if __name__ == "__main__":
