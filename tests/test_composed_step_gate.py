@@ -365,6 +365,125 @@ def test_mutated_kappa_mixing_is_caught(sides, monkeypatch):
     assert _rel(loss_j, loss_t) < 2e-4
 
 
+def _set_by_path(tree, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    node[path[-1]] = value
+
+
+def test_psi_phase_lora_composition(sides):
+    """LoRA-psi — the single-chip HEADLINE config (--fake_score_use_lora 1):
+    psi parameterised as teacher + A@B over the attention projections
+    (training/lora.py, the reference's announced-but-disabled PEFT wiring at
+    sid_sd_util.py:90-100).  The production psi loss with
+    ``fake_transform=apply_lora(teacher, .)`` must agree with the torch ref
+    whose fake UNet weights are independently merged as W_hf + (A@B)^T leaf
+    tensors (torch.func.functional_call), on the loss AND the gradient of
+    every LoRA factor (torch autograd does its own chain rule through the
+    merge — a wrong scale, target set, contraction order or transpose in
+    apply_lora diverges here)."""
+    from sid_lsg_tpu.models.convert import export_unet
+    from sid_lsg_tpu.training.distill import make_loss_fns
+    from sid_lsg_tpu.training.lora import apply_lora, init_lora
+
+    s = sides
+    rank = 3
+    lora = init_lora(jax.random.PRNGKey(11), s.teacher_j, rank=rank)
+    # b starts at zero (identity); the gate needs a real, asymmetric delta.
+    rs = np.random.RandomState(5)
+    lora = {
+        site: {
+            "a": jnp.asarray(rs.standard_normal(f["a"].shape).astype(np.float32) * 0.2),
+            "b": jnp.asarray(rs.standard_normal(f["b"].shape).astype(np.float32) * 0.2),
+        }
+        for site, f in sorted(lora.items())
+    }
+
+    # Map each factor site to its HF checkpoint key with one marker export:
+    # fill site kernels with unique constants, export, match by value.
+    marker = jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, p.dtype), s.teacher_j)
+    sites = sorted(lora)
+    for i, site in enumerate(sites):
+        path = tuple(site.split("/")) + ("kernel",)
+        kshape = lora[site]["a"].shape[0], lora[site]["b"].shape[1]
+        _set_by_path(marker, path, jnp.full(kshape, float(i + 1), jnp.float32))
+    hf_marked = export_unet(marker, s.TINY.unet)
+    site_to_hf = {}
+    for i, site in enumerate(sites):
+        kshape = (lora[site]["a"].shape[0], lora[site]["b"].shape[1])
+        matches = [k for k, v in hf_marked.items()
+                   if v.size == kshape[0] * kshape[1] and np.all(v == i + 1)]
+        assert len(matches) == 1, (site, matches)
+        # linear kernels export transposed: (in,out) -> HF (out,in)
+        assert hf_marked[matches[0]].shape == kshape[::-1]
+        site_to_hf[site] = matches[0]
+
+    # ---- Flax side: production psi loss with the LoRA fake_transform.
+    from sid_lsg_tpu.diffusion.ddpm import DDPMScheduler, SchedulerConfig
+    from sid_lsg_tpu.training.distill import DistillConfig
+
+    cfg = DistillConfig(
+        latent_size=8, init_timestep=625,
+        cfg_train_fake=1.5, cfg_eval_fake=1.5, cfg_eval_real=1.5,
+        dtype=jnp.float32,
+    )
+    L = make_loss_fns(s.unet_apply, DDPMScheduler(SchedulerConfig.sd("epsilon")),
+                      cfg, fake_transform=lambda pf, teacher: apply_lora(teacher, pf))
+    key = jax.random.PRNGKey(0)
+    images_j = jax.lax.stop_gradient(L.generate(s.g_j, s.z_j, s.emb_j, s.init_t_j, key))
+    (loss_j, _aux), grads_j = jax.value_and_grad(L.psi_loss, has_aux=True)(
+        lora, s.teacher_j, images_j, s.noise_j, s.emb_j, s.uncond_j,
+        s.t_j, {}, None, key, DENOM,
+    )
+
+    # ---- Torch side: independent merge via leaf factor tensors.
+    base_t = _torch_unet(s, s.teacher_sd)
+    for p in base_t.parameters():
+        p.requires_grad_(False)
+    A_t = {site: torch.tensor(np.asarray(lora[site]["a"]), requires_grad=True)
+           for site in sites}
+    B_t = {site: torch.tensor(np.asarray(lora[site]["b"]), requires_grad=True)
+           for site in sites}
+    merged = {
+        site_to_hf[site]: (torch.as_tensor(s.teacher_sd[site_to_hf[site]])
+                           + (A_t[site] @ B_t[site]).T)
+        for site in sites
+    }
+
+    class MergedUNet(torch.nn.Module):
+        def forward(self, x, t, encoder_hidden_states):
+            return torch.func.functional_call(
+                base_t, merged, (x, t),
+                kwargs={"encoder_hidden_states": encoder_hidden_states})
+
+    sched_t = TorchDDPM("epsilon")
+    g_t = _torch_unet(s, s.g_sd)
+    with torch.no_grad():
+        images_t = sid_sampler_torch(g_t, sched_t, s.z_t, s.emb_t, s.init_t_t)
+    loss_t = psi_loss_torch(MergedUNet(), sched_t, images_t, s.noise_t,
+                            s.emb_t, s.uncond_t, s.t_t, 1.5, 1.0, DENOM)
+    loss_t.backward()
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=2e-4)
+    # The composition must be non-trivial: zeroed-b factors (identity LoRA,
+    # psi == teacher) must give a different loss than the real delta.
+    identity = {site: dict(f, b=jnp.zeros_like(f["b"])) for site, f in lora.items()}
+    loss_id, _ = L.psi_loss(identity, s.teacher_j, images_j, s.noise_j,
+                            s.emb_j, s.uncond_j, s.t_j, {}, None, key, DENOM)
+    assert _rel(float(loss_j), float(loss_id)) > 1e-3
+
+    for site in sites:
+        for name, fac, ref in (("a", grads_j[site]["a"], A_t[site].grad),
+                               ("b", grads_j[site]["b"], B_t[site].grad)):
+            a = np.asarray(fac, np.float32)
+            b = ref.detach().numpy()
+            scale = max(float(np.abs(b).max()), 1e-8)
+            np.testing.assert_allclose(
+                a, b, rtol=2e-3, atol=2e-4 * scale,
+                err_msg=f"LoRA factor gradient mismatch at {site}/{name}")
+
+
 def test_mutated_t_schedule_is_caught(sides, monkeypatch):
     """Corrupt the sampler's t-schedule (init_t // 2): the g-loss must
     diverge beyond the gate tolerance."""
