@@ -49,41 +49,48 @@ def convert_coco(
     # Output is a folder of img+txt pairs, or (reference training/dataset.py
     # zip-ingestion parity) the same pairs inside a .zip archive that
     # data/mscoco.CocoCaptionDataset reads directly.
+    import contextlib
+
     as_zip = dest.endswith(".zip")
-    zf = None
     if as_zip:
         import zipfile
 
-        zf = zipfile.ZipFile(dest, "w", zipfile.ZIP_STORED)
+        if os.path.dirname(dest):
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+        # Context-managed so a mid-conversion failure (corrupt source image,
+        # interrupt) still writes the central directory: everything converted
+        # so far stays readable instead of leaving a BadZipFile truncation
+        # after an hours-long run.
+        zf_ctx = zipfile.ZipFile(dest, "w", zipfile.ZIP_STORED)
     else:
         os.makedirs(dest, exist_ok=True)
+        zf_ctx = contextlib.nullcontext(None)
     count = 0
     captions = []
-    for image_id in sorted(caption_by_id):
-        if max_images is not None and count >= max_images:
-            break
-        src = os.path.join(source, file_by_id[image_id])
-        if not os.path.exists(src):
-            continue
-        img = Image.open(src).convert("RGB")
-        img = center_crop_resize(img, resolution)
-        if as_zip:
-            import io
+    with zf_ctx as zf:
+        for image_id in sorted(caption_by_id):
+            if max_images is not None and count >= max_images:
+                break
+            src = os.path.join(source, file_by_id[image_id])
+            if not os.path.exists(src):
+                continue
+            img = Image.open(src).convert("RGB")
+            img = center_crop_resize(img, resolution)
+            if as_zip:
+                import io
 
-            buf = io.BytesIO()
-            img.save(buf, format="png")
-            zf.writestr(f"{count:08d}.png", buf.getvalue())
-            zf.writestr(f"{count:08d}.txt",
-                        caption_by_id[image_id].encode("utf-8"))
-        else:
-            base = os.path.join(dest, f"{count:08d}")
-            img.save(base + ".png")
-            with open(base + ".txt", "w", encoding="utf-8") as f:
-                f.write(caption_by_id[image_id])
-        captions.append(caption_by_id[image_id].replace("\n", " "))
-        count += 1
-    if zf is not None:
-        zf.close()
+                buf = io.BytesIO()
+                img.save(buf, format="png")
+                zf.writestr(f"{count:08d}.png", buf.getvalue())
+                zf.writestr(f"{count:08d}.txt",
+                            caption_by_id[image_id].encode("utf-8"))
+            else:
+                base = os.path.join(dest, f"{count:08d}")
+                img.save(base + ".png")
+                with open(base + ".txt", "w", encoding="utf-8") as f:
+                    f.write(caption_by_id[image_id])
+            captions.append(caption_by_id[image_id].replace("\n", " "))
+            count += 1
     if captions_out:
         # The eval caption corpus (reference prompts/captions.txt, consumed by
         # generate_onestep.py:120): line i is the prompt for seed i, ordered

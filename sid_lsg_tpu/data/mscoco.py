@@ -124,6 +124,20 @@ class CocoCaptionDataset:
             imgs, caps = zip(*(self[j] for j in chunk))
             yield np.stack(imgs), list(caps)
 
-    def captions(self, max_items: Optional[int] = None) -> List[str]:
+    def captions(self, max_items: Optional[int] = None,
+                 allow_missing: bool = False) -> List[str]:
+        """Captions for the first ``n`` items.  Caption-CONDITIONED use
+        (generator prompts) must not silently run on empty strings, so by
+        default any caption-less image raises — the loud contract of the
+        reference's pair-requiring ``mscoco_dataset.py:11-24``.  Caption-free
+        archives (``dataset_tool`` output) stay usable for FID real-stats via
+        ``allow_missing=True`` or the caption-ignoring ``batches`` path."""
         n = len(self) if max_items is None else min(len(self), max_items)
+        missing = [self.pairs[i][0] for i in range(n) if self.pairs[i][1] is None]
+        if missing and not allow_missing:
+            raise FileNotFoundError(
+                f"{len(missing)}/{n} images under {self.path} have no sibling "
+                f".txt caption (first: {missing[0]!r}); caption-conditioned "
+                "metrics need one per image — pass allow_missing=True only "
+                "for caption-free stats.")
         return [self._caption(self.pairs[i][1]) for i in range(n)]

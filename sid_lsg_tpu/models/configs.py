@@ -203,7 +203,16 @@ def config_from_hf_json(model_dir: str) -> SDConfig:
     vae = VAEConfig(**_fields(VAEConfig, vc)) if vc else VAEConfig()
 
     tc = _load("text_encoder", "config.json")
-    text = CLIPTextConfig(**_fields(CLIPTextConfig, tc)) if tc else CLIPTextConfig()
+    if tc:
+        text = CLIPTextConfig(**_fields(CLIPTextConfig, tc))
+    elif unet.cross_attention_dim == 1024:
+        # No text_encoder/config.json but an SD2.x-shaped UNet: the text
+        # tower must be the OpenCLIP ViT-H config (1024 wide, 23 layers,
+        # gelu) or weight conversion hits shape/key mismatches — the
+        # pre-round-4 sniffing contract (cross_attention_dim -> family).
+        text = SD21_BASE.text
+    else:
+        text = CLIPTextConfig()
 
     sc = _load("scheduler", "scheduler_config.json") or {}
     return SDConfig(

@@ -51,15 +51,32 @@ def _softplus(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.logaddexp(x, 0.0)
 
 
+def d_loss_real(logit_real: jnp.ndarray, kind: str = "ns") -> jnp.ndarray:
+    """Real-side per-sample discriminator term: push ``logit_real`` up."""
+    if kind == "ns":
+        return _softplus(-logit_real)
+    if kind == "hinge":
+        return jnp.maximum(0.0, 1.0 - logit_real)
+    raise ValueError(f"unknown gan loss kind: {kind!r}")
+
+
+def d_loss_fake(logit_fake: jnp.ndarray, kind: str = "ns") -> jnp.ndarray:
+    """Fake-side per-sample discriminator term: push ``logit_fake`` down."""
+    if kind == "ns":
+        return _softplus(logit_fake)
+    if kind == "hinge":
+        return jnp.maximum(0.0, 1.0 + logit_fake)
+    raise ValueError(f"unknown gan loss kind: {kind!r}")
+
+
 def d_loss(logit_real: jnp.ndarray, logit_fake: jnp.ndarray,
            kind: str = "ns") -> jnp.ndarray:
     """Per-sample discriminator loss: push ``logit_real`` up, ``logit_fake``
-    down.  ``kind`` is static: 'ns' (non-saturating logistic) or 'hinge'."""
-    if kind == "ns":
-        return _softplus(-logit_real) + _softplus(logit_fake)
-    if kind == "hinge":
-        return jnp.maximum(0.0, 1.0 - logit_real) + jnp.maximum(0.0, 1.0 + logit_fake)
-    raise ValueError(f"unknown gan loss kind: {kind!r}")
+    down.  ``kind`` is static: 'ns' (non-saturating logistic) or 'hinge'.
+    Exposed split (``d_loss_real``/``d_loss_fake``) so the caller can mask
+    each side by its OWN row validity (real and generated batches carry
+    independent NaN-row masks in ``distill.py``)."""
+    return d_loss_real(logit_real, kind) + d_loss_fake(logit_fake, kind)
 
 
 def g_loss(logit_fake: jnp.ndarray, kind: str = "ns") -> jnp.ndarray:

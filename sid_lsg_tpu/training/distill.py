@@ -114,6 +114,12 @@ def _mask_rows(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
 
 
+def _masked_mean(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """(B,) mean over valid rows only (0 when none) — keeps diagnostics like
+    the D-logit means unpolluted by zeroed NaN rows."""
+    return jnp.sum(jnp.where(valid, x, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+
+
 def make_loss_fns(
     unet_apply: UNetApplyP,
     scheduler: DDPMScheduler,
@@ -247,22 +253,32 @@ def make_loss_fns(
         total = loss
         if cfg.adv_weight_D > 0.0:
             r_fake, r_real = jax.random.split(rng_adv)
-            noise_real = jax.random.normal(r_real, extra["lat_real"].shape, jnp.float32)
+            # The real-side batch (mmap'd encode_latents rows) carries its
+            # own corruption risk — sanitize it exactly like the generated
+            # side, and mask each d-loss side by its OWN row validity so a
+            # bad real row cannot NaN-poison psi gradients or train D on a
+            # zeroed image.
+            valid_real = (_per_sample_finite(extra["lat_real"])
+                          & _per_sample_finite(extra["emb_real"]))
+            lat_real = _mask_rows(extra["lat_real"], valid_real)
+            emb_real = _mask_rows(extra["emb_real"], valid_real)
+            noise_real = jax.random.normal(r_real, lat_real.shape, jnp.float32)
             logit_fake = _d_logits(params_fake, eff, images, noise, emb, t,
                                    frozen, r_fake)
-            logit_real = _d_logits(params_fake, eff, extra["lat_real"],
-                                   noise_real, extra["emb_real"], t,
+            logit_real = _d_logits(params_fake, eff, lat_real,
+                                   noise_real, emb_real, t,
                                    frozen, r_real)
-            d_per = _per_sample(
-                adversarial.d_loss(logit_real, logit_fake, cfg.gan_loss)
-            )
-            d_per = jnp.where(jnp.isfinite(d_per), d_per, 0.0)
-            adv = jnp.sum(d_per) * (cfg.adv_weight_D * cfg.loss_scaling / denom)
+            d_fake = _per_sample(adversarial.d_loss_fake(logit_fake, cfg.gan_loss))
+            d_real = _per_sample(adversarial.d_loss_real(logit_real, cfg.gan_loss))
+            d_fake = jnp.where(valid_in & jnp.isfinite(d_fake), d_fake, 0.0)
+            d_real = jnp.where(valid_real & jnp.isfinite(d_real), d_real, 0.0)
+            adv = (jnp.sum(d_fake) + jnp.sum(d_real)) * (
+                cfg.adv_weight_D * cfg.loss_scaling / denom)
             total = total + adv
             aux.update(
                 adv_d_loss=adv,
-                d_logit_real=jnp.mean(logit_real),
-                d_logit_fake=jnp.mean(logit_fake),
+                d_logit_real=_masked_mean(_per_sample(logit_real), valid_real),
+                d_logit_fake=_masked_mean(_per_sample(logit_fake), valid_in),
             )
         return total, aux
 

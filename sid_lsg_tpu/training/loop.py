@@ -528,6 +528,38 @@ class Trainer:
         export_generator(self.state.ema, path)
         return path
 
+    def _ckpt_tree(self):
+        """Checkpoint payload: the SiDState, plus — when the pixel tower is
+        active — the persistent spectral-norm ``u`` vectors.  torch
+        ``spectral_norm`` keeps ``u`` in the state_dict the reference
+        snapshots; without it a resume re-estimates sigma from the init-u
+        against drifted kernels (6-11% under-estimate, measured in
+        tests/test_stylegan_t.py).  Non-adversarial runs keep the plain
+        SiDState layout."""
+        if self._disc_frozen is None:
+            return self.state
+        return {"state": self.state, "spectral": self._disc_frozen["spectral"]}
+
+    def _accept_ckpt(self, restored) -> None:
+        if isinstance(restored, dict) and "state" in restored:
+            self.state = restored["state"]
+            if self._disc_frozen is not None:
+                self._disc_frozen = dict(self._disc_frozen,
+                                         spectral=restored["spectral"])
+        else:
+            self.state = restored
+
+    def restore_from(self, mgr, step=None) -> None:
+        """Restore through ``mgr`` with the current layout, falling back to
+        the plain pre-spectral layout for older checkpoints."""
+        try:
+            restored = mgr.restore(step, template=self._ckpt_tree())
+        except Exception:
+            if self._disc_frozen is None:
+                raise
+            restored = mgr.restore(step, template=self.state)
+        self._accept_ckpt(restored)
+
     def save_state(self, step: int) -> None:
         from ..runtime.checkpoint import CheckpointManager
 
@@ -535,7 +567,7 @@ class Trainer:
             self.ckpt_mgr = CheckpointManager(
                 os.path.join(self.cfg.run_dir, "checkpoints")
             )
-        self.ckpt_mgr.save(step, self.state)
+        self.ckpt_mgr.save(step, self._ckpt_tree())
         self.ckpt_mgr.wait()  # orbax saves async; finish before continuing
 
     def restore_state(self) -> bool:
@@ -548,7 +580,7 @@ class Trainer:
         step = mgr.latest_step()
         if step is None:
             return False
-        self.state = mgr.restore(step, template=self.state)
+        self.restore_from(mgr, step)
         return True
 
     def eval_metrics(self, snapshot_path: Optional[str]) -> None:
@@ -861,7 +893,7 @@ def training_loop(cfg: TrainConfig) -> SiDState:
         from ..runtime.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(os.path.join(cfg.resume, "checkpoints"))
-        trainer.state = mgr.restore(template=trainer.state)
+        trainer.restore_from(mgr)
         runtime.print0(f"Resumed training state from {cfg.resume} "
                        f"(step {int(trainer.state.step)})")
     elif cfg.resume:

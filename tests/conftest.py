@@ -31,6 +31,15 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 _MP_RESULTS = {}
 _MP_SKIP_ESCALATION = 3
+# The full MP surface; the streak only moves when ALL of these ran, so
+# partial `-k`/single-test invocations on a contended box can neither
+# inflate the starvation streak nor launder it back to zero.
+# (Pinned against the module by test_multiprocess.py::test_mp_required_set.)
+MP_REQUIRED = frozenset({
+    "test_two_process_training",
+    "test_two_process_fsdp_training",
+    "test_two_process_fsdp_orbax_bitidentity",
+})
 
 
 def pytest_runtest_logreport(report):
@@ -52,11 +61,16 @@ def pytest_sessionfinish(session, exitstatus):
             prev_streak = json.load(f).get("consecutive_all_skipped", 0)
     except (OSError, ValueError):
         prev_streak = 0
+    full_session = MP_REQUIRED <= set(_MP_RESULTS)
     all_skipped = all(o == "skipped" for o in _MP_RESULTS.values())
-    streak = prev_streak + 1 if all_skipped else 0
+    if full_session:
+        streak = prev_streak + 1 if all_skipped else 0
+    else:
+        streak = prev_streak  # partial run: no evidence either way
     status = {
         "tests": dict(sorted(_MP_RESULTS.items())),
         "all_skipped": all_skipped,
+        "full_mp_session": full_session,
         "consecutive_all_skipped": streak,
     }
     try:
@@ -65,7 +79,7 @@ def pytest_sessionfinish(session, exitstatus):
             f.write("\n")
     except OSError:
         pass
-    if streak >= _MP_SKIP_ESCALATION:
+    if full_session and streak >= _MP_SKIP_ESCALATION:
         session.exitstatus = 1
         print(f"\nFAIL: multi-process tests skipped {streak} sessions in a row "
               f"(see {path}) — coverage has silently evaporated.")

@@ -85,3 +85,30 @@ def test_from_pretrained_builds_config_from_checkpoint_jsons(fixture_pipe):
     x0 = pipe.generate_latents(jnp.asarray(golden["latents"]),
                                jnp.asarray(golden["emb"]))
     np.testing.assert_allclose(np.asarray(x0), golden["x0"], atol=5e-4, rtol=1e-3)
+
+
+def test_config_json_missing_text_encoder_infers_family(tmp_path):
+    """An SD2.x-shaped checkpoint dir (unet/config.json with
+    cross_attention_dim=1024) whose text_encoder/config.json is missing must
+    get the OpenCLIP ViT-H text config, not the SD1.5 default — the
+    pre-round-4 sniffing contract, or text-weight conversion crashes on
+    shape/key mismatches."""
+    import json
+    import shutil
+
+    from sid_lsg_tpu.models.configs import SD21_BASE, config_from_hf_json, \
+        write_hf_config_jsons
+
+    d = str(tmp_path / "ckpt")
+    write_hf_config_jsons(d, SD21_BASE)
+    shutil.rmtree(os.path.join(d, "text_encoder"))
+    cfg = config_from_hf_json(d)
+    assert cfg.text == SD21_BASE.text
+    # And an SD1.5-shaped UNet still defaults to the SD1.5 text tower.
+    with open(os.path.join(d, "unet", "config.json")) as f:
+        uc = json.load(f)
+    uc["cross_attention_dim"] = 768
+    with open(os.path.join(d, "unet", "config.json"), "w") as f:
+        json.dump(uc, f)
+    from sid_lsg_tpu.models.configs import SD15
+    assert config_from_hf_json(d).text == SD15.text

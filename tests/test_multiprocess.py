@@ -112,8 +112,18 @@ def test_two_process_fsdp_orbax_bitidentity(tmp_path):
         import shutil
 
         shutil.rmtree(ckdir, ignore_errors=True)
-        if _is_gloo_flake("\n".join(outs)) and attempt < _ATTEMPTS - 1:
-            continue
+        if _is_gloo_flake("\n".join(outs)):
+            if attempt < _ATTEMPTS - 1:
+                continue
+            import pytest
+
+            # Same policy as the sibling tests: starvation is an infra race,
+            # not a product failure — skip WITH evidence (the conftest
+            # MP_STATUS streak escalates persistent starvation to a failure).
+            pytest.skip(
+                f"Gloo 30s rendezvous starved on all {_ATTEMPTS} attempts "
+                "(single-core contention; passes standalone)"
+            )
         for pid, (p, o) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"worker {pid} failed:\n{o[-4000:]}"
     verdicts = [json.loads(next(l for l in o.splitlines()
@@ -259,3 +269,13 @@ def test_two_process_training(tmp_path):
     assert "Exiting..." in outs[0]
     assert str(rd) in outs[1].split("Output directory:", 1)[1].splitlines()[0]
     assert "tick 0" not in outs[1]
+
+
+def test_mp_required_set_matches_module():
+    """conftest's MP_REQUIRED (the streak-gating full-session set) must list
+    exactly the 2-process tests in this module, so adding/removing one cannot
+    silently detach the coverage-evaporation escalation."""
+    import conftest
+
+    here = {n for n in globals() if n.startswith("test_two_process")}
+    assert set(conftest.MP_REQUIRED) == here
