@@ -500,3 +500,140 @@ def test_mutated_t_schedule_is_caught(sides, monkeypatch):
     loss_mut, _g2, _lt, _m2 = _g_both(s, 1.5, "epsilon")
     assert _rel(loss_mut, loss_t) > 1e-2, "t-schedule corruption not detected"
     assert _rel(loss_j, loss_t) < 5e-4
+
+
+# ---------------------------------------------------------------------------
+# SiDA adversarial extension of the gate (beyond-reference capability:
+# README.md:12 announces the integration; the repo builds it).  The torch
+# side (torch_sid_ref.adv_*_torch + encoder_features_torch) independently
+# reimplements the documented spec — psi's encoder as the zero-parameter
+# discriminator on noised latents — so sign conventions, the Diffusion-GAN
+# noising, the pooled readout, per-side row masking and the weight/denom
+# normalisation are all pinned by loss AND gradient agreement.
+# ---------------------------------------------------------------------------
+from torch_sid_ref import (  # noqa: E402
+    adv_d_loss_torch,
+    adv_g_loss_torch,
+)
+
+ADV_D, ADV_G = 0.3, 0.05
+
+
+def _adv_loss_fns(s, kappa):
+    from sid_lsg_tpu.diffusion.ddpm import DDPMScheduler, SchedulerConfig
+    from sid_lsg_tpu.models import UNet2DCondition
+    from sid_lsg_tpu.training.distill import DistillConfig, make_loss_fns
+
+    cfg = DistillConfig(
+        latent_size=8, init_timestep=625,
+        cfg_train_fake=kappa, cfg_eval_fake=kappa, cfg_eval_real=kappa,
+        dtype=jnp.float32, adv_weight_D=ADV_D, adv_weight_G=ADV_G,
+    )
+    unet = UNet2DCondition(s.TINY.unet, dtype=jnp.float32)
+    encode = lambda p, x, t, c: unet.apply(
+        {"params": p}, x, t, c, encoder_only=True)
+    sched = DDPMScheduler(SchedulerConfig.sd("epsilon"))
+    return make_loss_fns(s.unet_apply, sched, cfg, unet_encode=encode)
+
+
+def _real_side(s, nan_row=None):
+    """Real-latent batch entries + the rng_adv noise both sides consume.
+
+    The production psi phase splits rng_adv -> (r_fake, r_real) and draws the
+    real side's Diffusion-GAN noise from r_real (distill.py); the torch side
+    receives that exact tensor so both judge identical noised reals."""
+    rs = np.random.RandomState(13)
+    lat_real = rs.standard_normal((B, 4, 8, 8)).astype(np.float32)
+    emb_real = (rs.standard_normal(np.asarray(s.emb_t).shape)
+                .astype(np.float32) * 0.5)
+    if nan_row is not None:
+        lat_real[nan_row] = np.nan
+    rng_adv = jax.random.PRNGKey(9)
+    _r_fake, r_real = jax.random.split(rng_adv)
+    noise_real = np.asarray(
+        jax.random.normal(r_real, (B, 8, 8, 4), jnp.float32))
+    extra = {"lat_real": jnp.asarray(np.transpose(lat_real, (0, 2, 3, 1))),
+             "emb_real": jnp.asarray(emb_real)}
+    return (extra, rng_adv, torch.as_tensor(lat_real),
+            torch.as_tensor(np.transpose(noise_real, (0, 3, 1, 2))),
+            torch.as_tensor(emb_real))
+
+
+def _psi_adv_both(s, nan_row=None):
+    from sid_lsg_tpu.models.convert import export_unet
+
+    L = _adv_loss_fns(s, 1.5)
+    extra, rng_adv, lat_real_t, noise_real_t, emb_real_t = _real_side(
+        s, nan_row=nan_row)
+    key = jax.random.PRNGKey(0)
+    images_j = jax.lax.stop_gradient(
+        L.generate(s.g_j, s.z_j, s.emb_j, s.init_t_j, key))
+    (loss_j, aux), grads_j = jax.value_and_grad(L.psi_loss, has_aux=True)(
+        s.fake_j, s.teacher_j, images_j, s.noise_j, s.emb_j, s.uncond_j,
+        s.t_j, extra, None, rng_adv, DENOM)
+    grads_hf = export_unet(grads_j, s.TINY.unet)
+
+    keep = [i for i in range(B) if i != nan_row]
+    sched_t = TorchDDPM("epsilon")
+    g_t = _torch_unet(s, s.g_sd)
+    fake_t = _torch_unet(s, s.fake_sd).train()
+    with torch.no_grad():
+        images_t = sid_sampler_torch(g_t, sched_t, s.z_t, s.emb_t, s.init_t_t)
+    loss_t = psi_loss_torch(fake_t, sched_t, images_t, s.noise_t, s.emb_t,
+                            s.uncond_t, s.t_t, 1.5, 1.0, DENOM)
+    loss_t = loss_t + adv_d_loss_torch(
+        fake_t, sched_t, images_t, s.noise_t, s.emb_t, s.t_t,
+        lat_real_t[keep], noise_real_t[keep], emb_real_t[keep],
+        ADV_D, 1.0, DENOM)
+    loss_t.backward()
+    return float(loss_j), aux, grads_hf, float(loss_t), fake_t
+
+
+def test_psi_phase_adversarial_encoder_matches_reference(sides):
+    loss_j, aux, grads_hf, loss_t, fake_t = _psi_adv_both(sides)
+    assert float(aux["adv_d_loss"]) != 0.0  # the term is live
+    np.testing.assert_allclose(loss_j, loss_t, rtol=2e-4)
+    _assert_grads_close(grads_hf, fake_t, rtol=2e-3, atol_frac=2e-4)
+
+
+def test_psi_adversarial_nan_real_row_semantics(sides):
+    """A corrupt real row must cost only its own softplus term: the Flax
+    loss (masking) equals the torch composition run with that real row
+    DROPPED (same denominator), gradients included; the D-logit diagnostic
+    stays finite."""
+    loss_j, aux, grads_hf, loss_t, fake_t = _psi_adv_both(sides, nan_row=0)
+    assert np.isfinite(float(aux["d_logit_real"]))
+    np.testing.assert_allclose(loss_j, loss_t, rtol=2e-4)
+    _assert_grads_close(grads_hf, fake_t, rtol=2e-3, atol_frac=2e-4)
+
+
+def test_g_phase_adversarial_encoder_matches_reference(sides):
+    from sid_lsg_tpu.models.convert import export_unet
+
+    s = sides
+    L = _adv_loss_fns(s, 1.5)
+    key = jax.random.PRNGKey(3)
+    rng_adv = jax.random.PRNGKey(11)
+    (loss_j, aux), grads_j = jax.value_and_grad(L.g_loss, has_aux=True)(
+        s.g_j, s.fake_j, s.teacher_j, s.z_j, s.noise_j, s.emb_j, s.uncond_j,
+        s.t_j, s.init_t_j, key, None, rng_adv, DENOM)
+    assert float(aux["adv_g_loss"]) != 0.0
+    grads_hf = export_unet(grads_j, s.TINY.unet)
+
+    sched_t = TorchDDPM("epsilon")
+    g_t = _torch_unet(s, s.g_sd).train()
+    fake_t = _torch_unet(s, s.fake_sd)
+    teacher_t = _torch_unet(s, s.teacher_sd)
+    for m in (fake_t, teacher_t):
+        for p in m.parameters():
+            p.requires_grad_(False)
+    loss_t = g_loss_torch(g_t, fake_t, teacher_t, sched_t, s.z_t, s.noise_t,
+                          s.emb_t, s.uncond_t, s.t_t, s.init_t_t,
+                          kappa23=1.5, kappa4=1.5, alpha=1.0,
+                          loss_scaling_G=1.0, denom=DENOM)
+    loss_t = loss_t + adv_g_loss_torch(
+        g_t, fake_t, sched_t, s.z_t, s.noise_t, s.emb_t, s.t_t, s.init_t_t,
+        ADV_G, 1.0, DENOM)
+    loss_t.backward()
+    np.testing.assert_allclose(loss_j, loss_t, rtol=5e-4)
+    _assert_grads_close(grads_hf, g_t, rtol=2e-3, atol_frac=2e-4)

@@ -498,3 +498,64 @@ def g_loss_torch(g_unet, fake_unet, true_unet, sched, z, noise, emb,
         loss = (y_real - y_fake) * ((y_real - images)
                                     - alpha * (y_real - y_fake)) / weight_factor
     return loss.sum() * (loss_scaling_G / denom)
+
+# --------------------------------------------------------------------------
+# SiDA adversarial terms (beyond-reference: the reference ANNOUNCES this
+# integration, README.md:12, but ships no implementation — these reimplement
+# sid_lsg_tpu/training/adversarial.py's documented SPEC independently so the
+# composed gate extends to the adversarial step).
+# --------------------------------------------------------------------------
+def encoder_features_torch(unet, x, t, emb):
+    """Encoder-only twin forward: conv_in + down path + mid block ->
+    bottleneck feature map (models/unet.py ``encoder_only=True`` semantics:
+    stop after the mid block, no up path)."""
+    temb = unet.time_embedding(timestep_embedding(t, unet._ch0))
+    h = unet.conv_in(x)
+    for block in unet.down_blocks:
+        h, _states = block(h, temb, emb)
+    return unet.mid_block(h, temb, emb)
+
+
+def encoder_pooled_logit_torch(unet, sched, latents, noise, emb, t):
+    """The SiDA discriminator readout: noise the latents with the SAME
+    schedule/timesteps the denoising losses use (Diffusion-GAN), run the
+    fake-score net's encoder, global-mean-pool to one f32 logit per image."""
+    x_t = sched.add_noise(latents, noise, t)
+    x_in = sched.scale_model_input(x_t, t)
+    feats = encoder_features_torch(unet, x_in, t, emb)
+    return feats.float().mean(dim=[1, 2, 3])
+
+
+def adv_d_loss_torch(fake_unet, sched, images, noise, emb, t,
+                     lat_real, noise_real, emb_real,
+                     adv_weight_D, loss_scaling, denom, kind="ns"):
+    """Discriminator-phase adversarial term (added to the psi loss): push
+    real logits up and generated logits down, each side row-filtered by its
+    OWN validity (a corrupt real row drops only its own softplus term).
+    Inputs here are the already-valid rows; the caller filters."""
+    lf = encoder_pooled_logit_torch(fake_unet, sched, images, noise, emb, t)
+    lr = encoder_pooled_logit_torch(fake_unet, sched, lat_real, noise_real,
+                                    emb_real, t)
+    if kind == "ns":
+        d = F.softplus(lf).sum() + F.softplus(-lr).sum()
+    elif kind == "hinge":
+        d = torch.clamp(1.0 + lf, min=0).sum() + torch.clamp(1.0 - lr, min=0).sum()
+    else:
+        raise ValueError(kind)
+    return d * (adv_weight_D * loss_scaling / denom)
+
+
+def adv_g_loss_torch(g_unet, fake_unet, sched, z, noise, emb, t, init_t,
+                     adv_weight_G, loss_scaling_G, denom, kind="ns"):
+    """Generator-phase adversarial term (added to the SiD loss): gradient
+    reaches theta through the sampled images; the discriminator (psi's
+    encoder) is a fixed judge here."""
+    images = sid_sampler_torch(g_unet, sched, z, emb, init_t)
+    lf = encoder_pooled_logit_torch(fake_unet, sched, images, noise, emb, t)
+    if kind == "ns":
+        g = F.softplus(-lf).sum()
+    elif kind == "hinge":
+        g = (-lf).sum()
+    else:
+        raise ValueError(kind)
+    return g * (adv_weight_G * loss_scaling_G / denom)
