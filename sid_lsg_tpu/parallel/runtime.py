@@ -44,9 +44,6 @@ def init_distributed(
     global _initialized
     if _initialized:
         return
-    from ..runtime.compile_cache import enable as _enable_cache
-
-    _enable_cache()
     explicit = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     multi_env = num_processes or os.environ.get("JAX_NUM_PROCESSES")
     if explicit or (multi_env and int(multi_env) > 1):
@@ -59,6 +56,12 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+    # AFTER distributed init: enable() resolves jax.default_backend() to pick
+    # the backend-partitioned cache subdir, and backend queries are only safe
+    # once the multi-host runtime exists.
+    from ..runtime.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     _initialized = True
 
 

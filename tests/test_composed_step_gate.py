@@ -584,9 +584,9 @@ def _psi_adv_both(s, nan_row=None):
     loss_t = loss_t + adv_d_loss_torch(
         fake_t, sched_t, images_t, s.noise_t, s.emb_t, s.t_t,
         lat_real_t[keep], noise_real_t[keep], emb_real_t[keep],
-        ADV_D, 1.0, DENOM)
+        ADV_D, 1.0, DENOM, t_real=s.t_t[keep])
     loss_t.backward()
-    return float(loss_j), aux, grads_hf, float(loss_t), fake_t
+    return float(loss_j), aux, grads_hf, float(loss_t.detach()), fake_t
 
 
 def test_psi_phase_adversarial_encoder_matches_reference(sides):
@@ -635,5 +635,5 @@ def test_g_phase_adversarial_encoder_matches_reference(sides):
         g_t, fake_t, sched_t, s.z_t, s.noise_t, s.emb_t, s.t_t, s.init_t_t,
         ADV_G, 1.0, DENOM)
     loss_t.backward()
-    np.testing.assert_allclose(loss_j, loss_t, rtol=5e-4)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=5e-4)
     _assert_grads_close(grads_hf, g_t, rtol=2e-3, atol_frac=2e-4)

@@ -528,14 +528,19 @@ def encoder_pooled_logit_torch(unet, sched, latents, noise, emb, t):
 
 def adv_d_loss_torch(fake_unet, sched, images, noise, emb, t,
                      lat_real, noise_real, emb_real,
-                     adv_weight_D, loss_scaling, denom, kind="ns"):
+                     adv_weight_D, loss_scaling, denom, kind="ns",
+                     t_real=None):
     """Discriminator-phase adversarial term (added to the psi loss): push
     real logits up and generated logits down, each side row-filtered by its
     OWN validity (a corrupt real row drops only its own softplus term).
-    Inputs here are the already-valid rows; the caller filters."""
+    Inputs here are the already-valid rows; the caller filters — including
+    ``t_real`` (per-row timesteps travel with their real row when rows are
+    dropped; defaults to ``t`` for the full-batch case)."""
+    if t_real is None:
+        t_real = t
     lf = encoder_pooled_logit_torch(fake_unet, sched, images, noise, emb, t)
     lr = encoder_pooled_logit_torch(fake_unet, sched, lat_real, noise_real,
-                                    emb_real, t)
+                                    emb_real, t_real)
     if kind == "ns":
         d = F.softplus(lf).sum() + F.softplus(-lr).sum()
     elif kind == "hinge":
