@@ -62,6 +62,26 @@ def generate_images(
     latent_size = pipe.config.unet.sample_size
     my_seeds = [s for i, s in enumerate(seeds) if i % process_count == process_index]
     written = 0
+    done = 0
+
+    # Disk path through the native PNG writer (one C call per batch).
+    from .. import native
+
+    def flush(pending) -> int:
+        """Read back + encode a finished batch (host work that the device
+        overlaps with computing the NEXT batch — the dispatch for batch N+1
+        is already enqueued when this runs; the reference loop is fully
+        serial here, generate_onestep.py:277-310)."""
+        dev_images, batch_seeds = pending
+        out_paths = []
+        for seed in batch_seeds:
+            d = os.path.join(outdir, f"{seed - seed % 1000:06d}") if subdirs else outdir
+            os.makedirs(d, exist_ok=True)
+            out_paths.append(os.path.join(d, f"{seed:06d}.png"))
+        native.write_png_batch(out_paths, np.asarray(dev_images)[: len(batch_seeds)])
+        return len(batch_seeds)
+
+    pending = None  # (on-device uint8 batch, its real seeds)
     for start in range(0, len(my_seeds), max_batch_size):
         batch_seeds = my_seeds[start : start + max_batch_size]
         # Static batch shape for jit cache: pad the tail batch, drop extras.
@@ -75,19 +95,21 @@ def generate_images(
         images = pipe.generate(
             prompts, latents, num_steps=num_steps_eval,
             init_timestep=init_timestep, rng=jax.random.PRNGKey(0),
+            as_numpy=False,  # async: don't block before dispatching ahead
         )
-        # Disk path through the native PNG writer (one C call per batch).
-        from .. import native
-
-        out_paths = []
-        for seed in batch_seeds:
-            d = os.path.join(outdir, f"{seed - seed % 1000:06d}") if subdirs else outdir
-            os.makedirs(d, exist_ok=True)
-            out_paths.append(os.path.join(d, f"{seed:06d}.png"))
-        native.write_png_batch(out_paths, np.asarray(images)[: len(batch_seeds)])
-        written += len(batch_seeds)
+        if pending is not None:
+            n = flush(pending)
+            written += n
+            done += n
+            if progress and process_index == 0:
+                runtime.print0(f"  {done}/{len(my_seeds)} images")
+        pending = (images, batch_seeds)
+    if pending is not None:
+        n = flush(pending)
+        written += n
+        done += n
         if progress and process_index == 0:
-            runtime.print0(f"  {min(start + max_batch_size, len(my_seeds))}/{len(my_seeds)} images")
+            runtime.print0(f"  {done}/{len(my_seeds)} images")
     return written
 
 

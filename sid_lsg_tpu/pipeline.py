@@ -209,13 +209,21 @@ class SDPipeline:
         num_steps: int = 1,
         init_timestep: int = 625,
         rng: Optional[jax.Array] = None,
+        as_numpy: bool = True,
     ) -> np.ndarray:
-        """prompts + seeded latents -> uint8 images; the one-step product path."""
+        """prompts + seeded latents -> uint8 images; the one-step product path.
+
+        ``as_numpy=False`` returns the on-device uint8 array WITHOUT blocking
+        on readback, so callers can overlap host work (PNG encode) with the
+        device computing the next batch (generate_onestep double-buffers on
+        this; the reference loop is serial, generate_onestep.py:277-310).
+        """
         emb = self.encode_prompts(prompts)
         x0 = self.generate_latents(
             latents, emb, num_steps=num_steps, init_timestep=init_timestep, rng=rng
         )
-        return np.asarray(self.decode(x0))
+        out = self.decode(x0)
+        return np.asarray(out) if as_numpy else out
 
 
 def _sniff_config(model_dir: str) -> SDConfig:
