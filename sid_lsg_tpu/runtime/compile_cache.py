@@ -19,14 +19,28 @@ _enabled = False
 
 
 def host_tag() -> str:
-    """Fingerprint of this host's CPU features (stable across boots)."""
+    """Fingerprint of this host's CPU (stable across boots).
+
+    Hashes family/model/stepping ALONGSIDE the feature flags: LLVM's host
+    detection keys tuning features like ``prefer-no-scatter`` off the CPU
+    model, not the cpuinfo flags line, so two boxes with identical flags but
+    different microarchitectures produce mutually load-failing XLA:CPU AOT
+    entries (observed: every run spammed cpu_aot_loader feature-mismatch
+    errors and silently recompiled)."""
+    sig = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):  # x86 / arm
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
+                if line.startswith(
+                    ("flags", "Features", "cpu family", "model", "stepping")
+                ):
+                    sig.append(line.strip())
+                if line.strip() == "" and sig:
+                    break  # first processor block only
     except OSError:
         pass
+    if sig:
+        return hashlib.md5("\n".join(sig).encode()).hexdigest()[:10]
     import platform
 
     return platform.machine() or "unknown"
