@@ -223,6 +223,173 @@ def golden_cmd(model, network, prompts_path, out, fixtures, tolerance):
 
 
 # ---------------------------------------------------------------------------
+# One-command weights day (VERDICT r4 #6): orchestrate the whole 8-step
+# runbook (TODO.md) in order from a single artifact root.
+
+
+def _find_file(root, patterns, what, explicit=None, required=True):
+    """Resolve one artifact: explicit path wins, else glob under root."""
+    import glob as _glob
+
+    if explicit:
+        if not os.path.exists(explicit):
+            raise click.ClickException(f"--{what} {explicit!r} not found")
+        return explicit
+    hits = []
+    for pat in patterns:
+        hits += _glob.glob(os.path.join(root, pat))
+        hits += _glob.glob(os.path.join(root, "**", pat), recursive=True)
+    hits = sorted(set(h for h in hits if os.path.isfile(h)))
+    if not hits:
+        if required:
+            raise click.ClickException(
+                f"no {what} found under {root} (patterns {list(patterns)}); "
+                f"pass --{what} explicitly"
+            )
+        return None
+    return hits[0]
+
+
+def _find_sd_dir(root, explicit=None):
+    """An HF-layout SD checkpoint dir = contains unet/ and vae/ subdirs."""
+    if explicit:
+        if not os.path.isdir(os.path.join(explicit, "unet")):
+            raise click.ClickException(f"--sd {explicit!r} has no unet/ subdir")
+        return explicit
+    for dirpath, dirnames, _ in os.walk(root):
+        if "unet" in dirnames and "vae" in dirnames:
+            return dirpath
+    raise click.ClickException(
+        f"no HF-layout SD dir (unet/ + vae/) found under {root}; pass --sd"
+    )
+
+
+@cli.command("all")
+@click.option("--src", required=True, help="root dir holding the downloaded artifacts")
+@click.option("--outdir", default="weights", show_default=True,
+              help="where converted weights + pinned goldens land")
+@click.option("--sd", "sd_path", default=None,
+              help="HF-layout SD dir (default: auto-detect under --src)")
+@click.option("--inception", "inception_path", default=None)
+@click.option("--clip", "clip_path", default=None)
+@click.option("--dino", "dino_path", default=None,
+              help="DINO ViT-S/16 checkpoint (optional; SiDA only)")
+@click.option("--snapshot", "snapshot_path", default=None,
+              help="reference network-snapshot-*.pkl (optional; teacher-only "
+                   "golden without it)")
+@click.option("--config", "config_name", default="sd15", show_default=True,
+              help="UNet config for the snapshot conversion")
+@click.option("--skip-pytest", is_flag=True,
+              help="skip the detector-parity pytest leg (tests/test_real_weights.py)")
+@click.option("--fid-smoke/--no-fid-smoke", default=True, show_default=True,
+              help="self-FID over the golden grid through the converted "
+                   "Inception detector (must be ~0)")
+def all_cmd(src, outdir, sd_path, inception_path, clip_path, dino_path,
+            snapshot_path, config_name, skip_pytest, fid_smoke):
+    """Weights day in ONE command: run the 8-step runbook (TODO.md) in order.
+
+    sd load+smoke -> inception/clip[/dino] conversion -> snapshot ->
+    golden grid + fixture pinning -> detector-parity pytest -> FID smoke.
+    Detector-output parity runs BEFORE any FID is trusted (the NVIDIA
+    TorchScript detector embeds its own preprocessing — runbook step 7).
+    Prints the export lines to persist the env wiring for later sessions.
+    """
+    import subprocess
+
+    os.makedirs(outdir, exist_ok=True)
+    steps = []
+    env_vars = {}
+
+    # 1. sd: load + generation smoke
+    sd_dir = _find_sd_dir(src, sd_path)
+    sd_cmd.callback(src=sd_dir, smoke=True)
+    env_vars["SIDLSG_SD15_DIR"] = os.path.abspath(sd_dir)
+    steps.append("sd")
+
+    # 2-3. detectors
+    inc_src = _find_file(src, ("*inception*.pt", "*inception*.pkl"),
+                         "inception", inception_path)
+    inc_out = os.path.join(outdir, "inception.pt")
+    inception_cmd.callback(src=inc_src, out=inc_out)
+    env_vars["SIDLSG_INCEPTION_WEIGHTS"] = os.path.abspath(inc_out)
+    steps.append("inception")
+
+    clip_src = _find_file(
+        src, ("*clip*.pt", "*clip*.bin", "*ViT-g-14*", "*vit_g14*"),
+        "clip", clip_path)
+    clip_out = os.path.join(outdir, "clip_vit_g14.pt")
+    clip_cmd.callback(src=clip_src, out=clip_out)
+    env_vars["SIDLSG_CLIP_WEIGHTS"] = os.path.abspath(clip_out)
+    steps.append("clip")
+
+    # 4. dino (SiDA only — skip cleanly when absent)
+    dino_src = _find_file(src, ("*dino*.pth", "*dino*.pt"), "dino",
+                          dino_path, required=False)
+    if dino_src:
+        dino_cmd.callback(src=dino_src, out=os.path.join(outdir, "dino.pt"))
+        steps.append("dino")
+
+    # 5. snapshot -> generator safetensors (teacher-only golden without it)
+    gen_st = None
+    snap_src = _find_file(src, ("network-snapshot*.pkl",), "snapshot",
+                          snapshot_path, required=False)
+    if snap_src:
+        gen_st = os.path.join(outdir, "generator.safetensors")
+        snapshot_cmd.callback(src=snap_src, out=gen_st, config_name=config_name)
+        env_vars["SIDLSG_SNAPSHOT_PKL"] = os.path.abspath(snap_src)
+        steps.append("snapshot")
+
+    # 6. golden grid, then pin it as the fixture for future sessions
+    golden_out = os.path.join(outdir, "golden")
+    golden_cmd.callback(model=sd_dir, network=gen_st,
+                        prompts_path="prompts/example_prompts.txt",
+                        out=golden_out, fixtures=None, tolerance=2.0)
+    fixdir = os.path.join(outdir, "golden_fixtures")
+    os.makedirs(fixdir, exist_ok=True)
+    import shutil
+
+    shutil.copy(golden_out + ".npz", os.path.join(fixdir, "golden.npz"))
+    env_vars["SIDLSG_GOLDEN_FIXTURES"] = os.path.abspath(fixdir)
+    steps.append("golden+pin")
+
+    # 7. detector-output parity FIRST (before trusting any FID): the
+    #    env-gated real-weights suite, now fully un-gated by the env above.
+    if not skip_pytest:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_real_weights.py",
+             "-q", "-p", "no:cacheprovider"],
+            cwd=repo, env={**os.environ, **env_vars},
+        )
+        if r.returncode != 0:
+            raise SystemExit(f"detector-parity pytest failed rc={r.returncode}")
+        steps.append("pytest")
+
+    # 8. FID smoke: golden set against itself through the REAL converted
+    #    detector — exercises detector + stats + matrix-sqrt end-to-end and
+    #    must come out ~0.
+    fid = None
+    if fid_smoke:
+        from sid_lsg_tpu.metrics.detectors import inception_detector
+        from sid_lsg_tpu.metrics.feature_stats import FeatureStats
+        from sid_lsg_tpu.metrics.fid import compute_fid_from_stats
+
+        imgs = np.load(golden_out + ".npz")["arr_0"]
+        feats = np.asarray(inception_detector(inc_out)(imgs))
+        stats = FeatureStats(capture_mean_cov=True)
+        stats.append(feats)
+        fid = compute_fid_from_stats(stats, stats)
+        assert abs(fid) < 0.5, f"self-FID {fid} not ~0 — detector/stats broken"
+        steps.append("fid-smoke")
+
+    print(json.dumps({"all": "pass", "steps": steps,
+                      "fid_smoke": None if fid is None else round(float(fid), 6)}))
+    print("# persist the wiring for later sessions:")
+    for k, v in env_vars.items():
+        print(f"export {k}={v}")
+
+
+# ---------------------------------------------------------------------------
 # Readiness drill: every subcommand end-to-end on synthetic artifact-shaped
 # inputs, so the first session that has real weights spends its time on FID,
 # not plumbing.
@@ -424,6 +591,20 @@ def verify_cmd(workdir, fixture):
                         prompts_path="prompts/example_prompts.txt",
                         out=g2, fixtures=fixdir, tolerance=0.0)
     steps.append("golden")
+
+    # 7. all: the one-command orchestration over the same synthetic artifacts
+    #    (discovery by filename pattern, ordering, env wiring, self-FID smoke).
+    allsrc = os.path.join(workdir, "allsrc")
+    os.makedirs(allsrc, exist_ok=True)
+    shutil.copy(inc_src, os.path.join(allsrc, "pt_inception-2015-12-05_synth.pt"))
+    shutil.copy(clip_src, os.path.join(allsrc, "open_clip_vit_g14_synth.pt"))
+    shutil.copy(dino_src, os.path.join(allsrc, "dino_deitsmall16_synth.pth"))
+    shutil.copy(snap_src, os.path.join(allsrc, "network-snapshot-synth.pkl"))
+    all_cmd.callback(src=allsrc, outdir=os.path.join(workdir, "weights_all"),
+                     sd_path=fixture, inception_path=None, clip_path=None,
+                     dino_path=None, snapshot_path=None, config_name="tiny",
+                     skip_pytest=True, fid_smoke=True)
+    steps.append("all")
 
     print(json.dumps({"drill": "pass", "steps": steps, "workdir": workdir}))
 
