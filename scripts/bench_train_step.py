@@ -65,6 +65,12 @@ def main():
     ap.add_argument("--compile-only", action="store_true")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax profiler trace of the timed steps here")
+    ap.add_argument("--fsdp", type=int, default=1,
+                    help="FSDP axis size (>1 = the sharded pod recipe: "
+                         "params/opt/EMA sharded, batch over dp x fsdp; "
+                         "--mb is then the GLOBAL microbatch)")
+    ap.add_argument("--dp", type=int, default=None,
+                    help="data-parallel axis size (default: devices / fsdp)")
     args = ap.parse_args()
 
     from sid_lsg_tpu import models
@@ -137,11 +143,17 @@ def main():
         params_fake = {"psi": params_fake if params_fake is not None else params,
                        "disc": dparams}
 
+    mesh = None
+    if args.fsdp > 1 or (args.dp or 1) > 1:
+        from sid_lsg_tpu.parallel import make_mesh
+
+        mesh = make_mesh(fsdp=args.fsdp, dp=args.dp)
+
     step = make_train_step(apply, DDPMScheduler(), cfg, opt_g, opt_f,
                            fake_transform=fake_transform,
                            unet_encode=unet_encode,
+                           mesh=mesh,
                            pixel_disc=pixel_disc)
-    jstep = jit_train_step(step)
 
     state = init_state(params, opt_g, opt_f, params_fake=params_fake)
     teacher = params
@@ -165,9 +177,29 @@ def main():
         batch["disc_frozen"] = disc_frozen
     rng = jax.random.PRNGKey(0)
 
+    import contextlib
+
+    scope = contextlib.nullcontext()
+    if mesh is not None:
+        # Production placement (Trainer wiring, training/loop.py:330-366):
+        # FSDP rule over state/teacher, batch over dp x fsdp; Pallas kernels
+        # trace inside shard_mesh_scope (shard_map manual regions).
+        from sid_lsg_tpu.ops.attention import shard_mesh_scope
+        from sid_lsg_tpu.parallel import shard_params, shard_round_batch
+
+        place = lambda t: shard_params(t, mesh)
+        arr = lambda x: place(x) if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x
+        state = jax.tree_util.tree_map(arr, state)
+        teacher = place(teacher)
+        batch = shard_round_batch(batch, mesh)
+        scope = shard_mesh_scope(mesh)
+    jstep = jit_train_step(step, mesh=mesh, state=state, teacher=teacher,
+                           batch=batch)
+
     t_c0 = time.perf_counter()
-    lowered = jstep.lower(state, teacher, batch, rng)
-    compiled = lowered.compile()
+    with scope:
+        lowered = jstep.lower(state, teacher, batch, rng)
+        compiled = lowered.compile()
     compile_s = time.perf_counter() - t_c0
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
@@ -188,6 +220,7 @@ def main():
         "teacher_bf16": args.teacher_bf16,
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
+        "mesh": dict(mesh.shape) if mesh is not None else None,
     }
     if args.compile_only:
         result["mem"] = device_mem_gb()
@@ -218,9 +251,12 @@ def main():
         jax.profiler.stop_trace()
 
     peak_flops = 197e12  # v5e bf16
+    n_chips = mesh.size if mesh is not None else 1
     result.update({
         "ms_per_step": round(dt * 1000, 1),
-        "img_per_sec_per_chip": round(args.mb * args.rounds / dt, 3),
+        # --mb is the GLOBAL microbatch under a mesh; normalise to per-chip.
+        "img_per_sec_per_chip": round(args.mb * args.rounds / dt / n_chips, 3),
+        # cost_analysis flops are per-device under SPMD; mfu stays per-chip.
         "mfu": round(flops / dt / peak_flops, 4) if flops else None,
         "step_tflop": round(flops / 1e12, 2) if flops else None,
         "mem": device_mem_gb(),
