@@ -359,7 +359,9 @@ def test_prepare_weights_drill(tmp_path):
     inputs — sd (fixture load + generation smoke), inception/clip/dino
     (synthetic torch checkpoints through convert/validate/save + the
     metrics/detectors consumer path), snapshot ({'ema': ...} pickle ->
-    safetensors), golden (grid + fixture compare)."""
+    safetensors), golden (grid + fixture compare), and the one-command
+    `all` orchestration (round 5: discovery, ordering, env wiring,
+    self-FID smoke)."""
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     r = subprocess.run(
         [sys.executable, "scripts/prepare_weights.py", "verify",
@@ -371,4 +373,25 @@ def test_prepare_weights_drill(tmp_path):
     verdict = json.loads(r.stdout.strip().splitlines()[-1])
     assert verdict["drill"] == "pass"
     assert verdict["steps"] == ["sd", "inception", "clip", "dino",
-                                "snapshot", "golden"]
+                                "snapshot", "golden", "all"]
+
+
+def test_eval_stack_bench_smoke(tmp_path):
+    """The TPU eval-stack bench (scripts/bench_eval_stack.py, VERDICT r4 #3)
+    runs all three stages on the CPU backend with tiny towers, emitting one
+    JSON line each — keeps the script from rotting between TPU sessions."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "scripts/bench_eval_stack.py", "--tiny",
+         "--batch", "2", "--gen-batch", "2", "--iters", "1"],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    lines = [json.loads(l) for l in r.stdout.strip().splitlines()
+             if l.startswith("{")]
+    assert {l["metric"] for l in lines} == {
+        "inception_features_512px", "clip_vitg14_image_features",
+        "fid_eval_loop_generate_plus_features"}
+    assert all(np.isfinite(v) for l in lines for v in l.values()
+               if isinstance(v, (int, float)))
