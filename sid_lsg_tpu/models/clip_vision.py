@@ -15,6 +15,7 @@ state dict (visual.* / transformer.resblocks.*) for weight parity.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -30,7 +31,8 @@ OPENAI_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
-def openclip_preprocess_uint8(images_uint8, size: int) -> np.ndarray:
+def openclip_preprocess_uint8(images_uint8, size: int,
+                              workers: int | None = None) -> np.ndarray:
     """open_clip's inference image transform, exactly, on host.
 
     torchvision ``Resize(size)`` (shorter side -> ``size``, PIL bicubic — a
@@ -41,13 +43,20 @@ def openclip_preprocess_uint8(images_uint8, size: int) -> np.ndarray:
     ``hpsv2.score``); the in-graph ``jax.image.resize`` bicubic is NOT
     antialiased on downscale and measurably disagrees with it, so host-fed
     uint8 images take this path (TODO.md round-3 closure).
+
+    ``workers``: PIL releases the GIL inside the C resample, so at ~24 ms/img
+    (512px -> 224) the batch loop thread-pools across real cores.  Default
+    ``os.cpu_count()`` capped at 8; the per-image math is unchanged (each
+    thread writes only its own output row), so results are byte-identical
+    to the serial loop at any worker count.
     """
     from PIL import Image
 
     arr = np.asarray(images_uint8)
     out = np.empty((len(arr), size, size, 3), np.float32)
-    for i, img in enumerate(arr):
-        im = Image.fromarray(img)
+
+    def one(i: int) -> None:
+        im = Image.fromarray(arr[i])
         w, h = im.size
         if w <= h:  # torchvision _compute_resized_output_size (int truncation)
             nw, nh = size, max(int(size * h / w), size)
@@ -57,6 +66,16 @@ def openclip_preprocess_uint8(images_uint8, size: int) -> np.ndarray:
         left, top = (nw - size) // 2, (nh - size) // 2
         im = im.crop((left, top, left + size, top + size))
         out[i] = np.asarray(im, np.float32) / 255.0
+
+    nw_ = workers if workers is not None else min(8, os.cpu_count() or 1)
+    if nw_ <= 1 or len(arr) <= 1:
+        for i in range(len(arr)):
+            one(i)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nw_) as pool:
+            list(pool.map(one, range(len(arr))))
     return out
 
 

@@ -162,6 +162,13 @@ def test_openclip_preprocess_matches_pil():
     want = np.asarray(im.crop((8, 0, 24, 16)), np.float32) / 255.0
     assert got.shape == (1, 16, 16, 3)
     np.testing.assert_allclose(got[0], want, atol=1e-6)
+    # Thread-pooled batch (workers>1) is byte-identical to the serial loop:
+    # each thread runs the same per-image math into its own output row.
+    batch = rng.randint(0, 256, (16, 40, 56, 3), np.uint8)
+    np.testing.assert_array_equal(
+        openclip_preprocess_uint8(batch, 16, workers=4),
+        openclip_preprocess_uint8(batch, 16, workers=1),
+    )
 
 
 def test_clip_scorer_routes_host_resize_through_openclip_transform():
