@@ -395,3 +395,28 @@ def test_eval_stack_bench_smoke(tmp_path):
         "fid_eval_loop_generate_plus_features"}
     assert all(np.isfinite(v) for l in lines for v in l.values()
                if isinstance(v, (int, float)))
+
+
+def test_onestep_io_bench_smoke(tmp_path):
+    """The I/O-overlap bench (scripts/bench_onestep_io.py, VERDICT r4 #4)
+    runs all three modes (nowrite/serial/overlap) on the CPU backend with the
+    tiny pipeline and emits one JSON line — keeps the script honest between
+    TPU sessions."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "scripts/bench_onestep_io.py", "--model", "tiny",
+         "--batch", "2", "--batches", "2", "--outdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    line = json.loads([l for l in r.stdout.strip().splitlines()
+                       if l.startswith("{")][-1])
+    assert line["metric"] == "onestep_512px_io_overlap"
+    for k in ("nowrite_img_per_sec", "serial_write_img_per_sec",
+              "overlap_write_img_per_sec"):
+        assert np.isfinite(line[k]) and line[k] > 0
+    # The overlap mode actually wrote the images.
+    import pathlib
+    pngs = list(pathlib.Path(tmp_path, "overlap").glob("*.png"))
+    assert len(pngs) == line["images"] == 4
