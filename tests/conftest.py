@@ -74,6 +74,7 @@ def pytest_sessionfinish(session, exitstatus):
         n_collected = session.testscollected
     except AttributeError:
         n_collected = sum(_SUITE_COUNTS.values())
+    args = list(getattr(session.config, "invocation_params").args)
     suite_status = {
         "exitstatus": int(getattr(exitstatus, "value", exitstatus)),
         "collected": n_collected,
@@ -81,15 +82,38 @@ def pytest_sessionfinish(session, exitstatus):
         "failed_tests": sorted(set(_SUITE_BAD)),
         "green": int(getattr(exitstatus, "value", exitstatus)) == 0
         and not _SUITE_BAD,
-        "args": list(getattr(session.config, "invocation_params").args),
+        "args": args,
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    try:
-        with open(os.path.join(_root, "SUITE_STATUS.json"), "w") as f:
-            json.dump(suite_status, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError:
-        pass
+    # A GREEN partial session (single-test smoke, -k filter) must not clobber
+    # a fuller record: the round artifact should show the most complete
+    # evidence, and a green 1-test run could otherwise bury a red full-suite
+    # record.  Red sessions ALWAYS overwrite (visibility is the point), and so
+    # do whole-suite invocations (a bare ``tests/`` target, no -k/-m/::), even
+    # if the suite shrank since the previous record.
+    path = os.path.join(_root, "SUITE_STATUS.json")
+    looks_full = (
+        any(a.rstrip("/").endswith("tests") for a in args)
+        and not any("::" in a or a in ("-k", "-m") for a in args)
+    )
+    # "Red" = something actually failed/errored/aborted (exit 1/2/3) — NOT
+    # exit 5 (no tests collected, e.g. a -k filter matching nothing), which
+    # carries no evidence and would clobber a real record with noise.
+    red = bool(_SUITE_BAD) or suite_status["exitstatus"] in (1, 2, 3)
+    write = red or looks_full
+    if not write:
+        try:
+            with open(path) as f:
+                write = n_collected >= json.load(f).get("collected", 0)
+        except (OSError, ValueError):
+            write = True
+    if write:
+        try:
+            with open(path, "w") as f:
+                json.dump(suite_status, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass
 
     if not _MP_RESULTS:
         return
