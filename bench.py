@@ -266,6 +266,14 @@ def bench_fullpsi():
 # single tunneled TPU per process; a parent holding the claim would starve
 # its children — see CLAUDE.md).
 
+# RUN order gives the distill headline budget PRIORITY (a cold tunnel
+# session means multi-minute remote recompiles — measured 2026-08-20: the
+# client persistent-cache key churns with the tunnel backend session, so a
+# "warm" disk cache can still miss; the headline must not be the stage that
+# starves).  PRINT order still ends with the headline: the driver records
+# the final JSON line as the round's parsed metric, so each stage's line is
+# buffered and emitted in STAGES order after all children finish, with the
+# already-completed stages flushed incrementally ahead of it.
 STAGES = [
     # (name, metric-name-for-skip-marker, attempt floor in seconds)
     ("onestep", "onestep_512px_images_per_sec_per_chip", 120.0),
@@ -274,55 +282,92 @@ STAGES = [
     # round's parsed metric.
     ("distill", "sd15_fullwidth_distill_images_per_sec_per_chip", 180.0),
 ]
+RUN_ORDER = ["distill", "onestep", "fullpsi"]
 STAGE_FNS = {"onestep": bench_onestep, "distill": bench_distill,
              "fullpsi": bench_fullpsi}
 
 
 def _run_stage_child(name: str) -> None:
+    if os.environ.get("SIDLSG_BENCH_SELFTEST"):
+        # CI hook (tests/test_tools.py): exercise the orchestration's real
+        # subprocess + buffering + print-order path without a TPU.  The fake
+        # line carries the stage's metric name so ordering is assertable.
+        print(json.dumps({"metric": dict((n, m) for n, m, _ in STAGES)[name],
+                          "value": 1.0, "unit": "img/s", "vs_baseline": None,
+                          "selftest": True}), flush=True)
+        return
     from sid_lsg_tpu.runtime.compile_cache import enable as enable_compile_cache
 
     enable_compile_cache()
     STAGE_FNS[name]()
 
 
-def _skip(metric: str, reason: str) -> None:
-    print(json.dumps({"metric": metric, "value": None, "unit": "img/s",
-                      "vs_baseline": None, "skipped": reason}), flush=True)
+def _skip_line(metric: str, reason: str) -> str:
+    return json.dumps({"metric": metric, "value": None, "unit": "img/s",
+                       "vs_baseline": None, "skipped": reason})
 
 
 def _orchestrate() -> None:
     import signal
     import subprocess
     import sys
+    import tempfile
 
     budget = float(os.environ.get("SIDLSG_BENCH_BUDGET_S", "1500"))
     t0 = time.monotonic()
     remaining = lambda: budget - (time.monotonic() - t0)
-    for i, (name, metric, floor) in enumerate(STAGES):
+    floors = {name: floor for name, _, floor in STAGES}
+    metrics = {name: metric for name, metric, _ in STAGES}
+    lines: dict[str, str] = {}
+    for i, name in enumerate(RUN_ORDER):
+        metric, floor = metrics[name], floors[name]
         # Reserve enough for each later stage to at least emit its skip line.
-        reserve = 30.0 * (len(STAGES) - 1 - i)
+        reserve = 30.0 * (len(RUN_ORDER) - 1 - i)
         slice_s = remaining() - reserve
         if slice_s < floor:
-            _skip(metric, f"compile budget: {slice_s:.0f}s left < {floor:.0f}s floor")
+            lines[name] = _skip_line(
+                metric, f"compile budget: {slice_s:.0f}s left < {floor:.0f}s floor")
             continue
-        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__),
-                                 "--stage", name])
-        try:
-            rc = proc.wait(timeout=slice_s)
-            if rc != 0:
-                _skip(metric, f"stage exited rc={rc}")
-        except subprocess.TimeoutExpired:
-            # SIGTERM first: give the plugin its atexit to release the TPU
-            # claim cleanly (a hard kill mid-claim wedges the tunnel for
-            # minutes, CLAUDE.md), then escalate.
-            proc.send_signal(signal.SIGTERM)
+        with tempfile.TemporaryFile(mode="w+") as out:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--stage", name],
+                stdout=out)
             try:
-                proc.wait(timeout=30)
+                rc = proc.wait(timeout=slice_s)
+                out.seek(0)
+                got = [l for l in out.read().splitlines() if l.startswith("{")]
+                if rc == 0 and got:
+                    lines[name] = got[-1]
+                else:
+                    lines[name] = _skip_line(metric, f"stage exited rc={rc}")
             except subprocess.TimeoutExpired:
-                proc.kill()
-                proc.wait()
-            _skip(metric, f"compile budget: exceeded {slice_s:.0f}s slice "
-                          "(cold persistent cache?)")
+                # SIGTERM first: give the plugin its atexit to release the TPU
+                # claim cleanly (a hard kill mid-claim wedges the tunnel for
+                # minutes, CLAUDE.md), then escalate.
+                proc.send_signal(signal.SIGTERM)
+                try:
+                    proc.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    proc.wait()
+                lines[name] = _skip_line(
+                    metric, f"compile budget: exceeded {slice_s:.0f}s slice "
+                            "(cold tunnel-session cache?)")
+        # Incremental flush in PRINT order: emit any decided line whose
+        # STAGES predecessors are all emitted — completed lines reach the
+        # record as early as possible (a driver-side kill still captures
+        # them) while the headline, printed last in STAGES, never precedes
+        # the others.
+        for pname, _, _ in STAGES:
+            if pname not in lines:
+                break
+            if lines[pname] is not None:
+                print(lines[pname], flush=True)
+                lines[pname] = None
+    # Anything left (possible only via a logic bug): emit rather than drop.
+    for name, _, _ in STAGES:
+        if lines.get(name) is not None:
+            print(lines[name], flush=True)
 
 
 def main():
