@@ -25,16 +25,33 @@ from .feature_stats import FeatureStats, ProgressMonitor
 from .registry import MetricOptions
 
 
-def _resize_uint8(images: np.ndarray, size: int) -> np.ndarray:
+def _resize_uint8(images: np.ndarray, size: int,
+                  workers: int | None = None) -> np.ndarray:
     """Bicubic uint8 resize on host via PIL (matches reference make_transform
-    semantics for eval, sid_metric_utils.py:299,477)."""
+    semantics for eval, sid_metric_utils.py:299,477).
+
+    Thread-pooled like ``models.clip_vision.openclip_preprocess_uint8``: PIL
+    releases the GIL in the C resampler and each thread writes only its own
+    output row, so results are byte-identical at any worker count."""
     if images.shape[1] == size and images.shape[2] == size:
         return images
     from PIL import Image
 
     out = np.empty((images.shape[0], size, size, 3), np.uint8)
-    for i, img in enumerate(images):
-        out[i] = np.asarray(Image.fromarray(img).resize((size, size), Image.BICUBIC))
+
+    def one(i: int) -> None:
+        out[i] = np.asarray(
+            Image.fromarray(images[i]).resize((size, size), Image.BICUBIC))
+
+    nw = workers if workers is not None else min(8, os.cpu_count() or 1)
+    if nw <= 1 or len(images) <= 1:
+        for i in range(len(images)):
+            one(i)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            list(pool.map(one, range(len(images))))
     return out
 
 

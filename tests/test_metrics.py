@@ -405,3 +405,17 @@ def test_hpsv2_metric_equals_manual_mean(tmp_path):
                            rng=jax.random.PRNGKey(opts.seed))
     manual = float(np.mean(np.asarray(scorer.score(np.asarray(images), prompts))))
     np.testing.assert_allclose(res.results.hpsv2_mean, manual, rtol=1e-5)
+
+
+def test_resize_uint8_threaded_identical():
+    """metric_utils._resize_uint8: thread-pooled batch is byte-identical to
+    the serial loop (PIL releases the GIL; rows are disjoint)."""
+    from sid_lsg_tpu.metrics.metric_utils import _resize_uint8
+
+    rng = np.random.RandomState(3)
+    batch = rng.randint(0, 256, (12, 37, 53, 3), np.uint8)
+    np.testing.assert_array_equal(
+        _resize_uint8(batch, 16, workers=4), _resize_uint8(batch, 16, workers=1))
+    # Size-match fast path returns the input unchanged.
+    sq = rng.randint(0, 256, (2, 16, 16, 3), np.uint8)
+    assert _resize_uint8(sq, 16) is sq
