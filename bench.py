@@ -3,8 +3,10 @@
 Stages run as budgeted child processes (SIDLSG_BENCH_BUDGET_S, default 1500s
 wall-clock total); a stage that cannot finish inside its slice emits an
 explicit ``"skipped"`` JSON line instead of hanging past the driver's
-timeout.  Print order: onestep, fullpsi, then the distill headline LAST (the
-driver parses the final line as the round's metric).
+timeout.  The distill headline RUNS first (budget priority) and each line
+prints on completion; the headline line is re-printed at the end so the
+FINAL line — which the driver parses as the round's metric — is always the
+headline.
 
 Line 1 — one-step 512x512 text-to-image throughput (UNet eps->x0 + full VAE
 decode to uint8, bf16, batch 8): the production inference path of the
@@ -266,22 +268,22 @@ def bench_fullpsi():
 # single tunneled TPU per process; a parent holding the claim would starve
 # its children — see CLAUDE.md).
 
-# RUN order gives the distill headline budget PRIORITY (a cold tunnel
-# session means multi-minute remote recompiles — measured 2026-08-20: the
-# client persistent-cache key churns with the tunnel backend session, so a
-# "warm" disk cache can still miss; the headline must not be the stage that
-# starves).  PRINT order still ends with the headline: the driver records
-# the final JSON line as the round's parsed metric, so each stage's line is
-# buffered and emitted in STAGES order after all children finish, with the
-# already-completed stages flushed incrementally ahead of it.
+# RUN order gives the distill headline budget PRIORITY (measured 2026-08-20:
+# a persistent-cache entry on disk can still load-fail and send a stage into
+# a multi-minute remote recompile; the headline must not be the stage that
+# starves).  Every line prints the moment its stage is decided — run order
+# IS the crash-visible order, so a driver-side kill mid-bench still has the
+# already-measured headline on the record — and the headline line is
+# RE-printed at the very end when later stages printed after it: the driver
+# parses the FINAL JSON line as the round's metric (BENCH_r04.json).
 STAGES = [
     # (name, metric-name-for-skip-marker, attempt floor in seconds)
     ("onestep", "onestep_512px_images_per_sec_per_chip", 120.0),
     ("fullpsi", "sd15_halfwidth_fullpsi_distill_images_per_sec_per_chip", 180.0),
-    # The headline last: the driver records the final JSON line as the
-    # round's parsed metric.
     ("distill", "sd15_fullwidth_distill_images_per_sec_per_chip", 180.0),
 ]
+# Headline first (budget priority + earliest on the crash-visible record);
+# its line is re-printed last so the driver's final-line parse sees it.
 RUN_ORDER = ["distill", "onestep", "fullpsi"]
 STAGE_FNS = {"onestep": bench_onestep, "distill": bench_distill,
              "fullpsi": bench_fullpsi}
@@ -318,56 +320,51 @@ def _orchestrate() -> None:
     remaining = lambda: budget - (time.monotonic() - t0)
     floors = {name: floor for name, _, floor in STAGES}
     metrics = {name: metric for name, metric, _ in STAGES}
-    lines: dict[str, str] = {}
+    headline = RUN_ORDER[0]
+    last_printed = None
+    headline_line = None
     for i, name in enumerate(RUN_ORDER):
         metric, floor = metrics[name], floors[name]
         # Reserve enough for each later stage to at least emit its skip line.
         reserve = 30.0 * (len(RUN_ORDER) - 1 - i)
         slice_s = remaining() - reserve
         if slice_s < floor:
-            lines[name] = _skip_line(
+            line = _skip_line(
                 metric, f"compile budget: {slice_s:.0f}s left < {floor:.0f}s floor")
-            continue
-        with tempfile.TemporaryFile(mode="w+") as out:
-            proc = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "--stage", name],
-                stdout=out)
-            try:
-                rc = proc.wait(timeout=slice_s)
-                out.seek(0)
-                got = [l for l in out.read().splitlines() if l.startswith("{")]
-                if rc == 0 and got:
-                    lines[name] = got[-1]
-                else:
-                    lines[name] = _skip_line(metric, f"stage exited rc={rc}")
-            except subprocess.TimeoutExpired:
-                # SIGTERM first: give the plugin its atexit to release the TPU
-                # claim cleanly (a hard kill mid-claim wedges the tunnel for
-                # minutes, CLAUDE.md), then escalate.
-                proc.send_signal(signal.SIGTERM)
+        else:
+            with tempfile.TemporaryFile(mode="w+") as out:
+                proc = subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__), "--stage", name],
+                    stdout=out)
                 try:
-                    proc.wait(timeout=30)
+                    rc = proc.wait(timeout=slice_s)
+                    out.seek(0)
+                    got = [l for l in out.read().splitlines() if l.startswith("{")]
+                    if rc == 0 and got:
+                        line = got[-1]
+                    else:
+                        line = _skip_line(metric, f"stage exited rc={rc}")
                 except subprocess.TimeoutExpired:
-                    proc.kill()
-                    proc.wait()
-                lines[name] = _skip_line(
-                    metric, f"compile budget: exceeded {slice_s:.0f}s slice "
-                            "(cold tunnel-session cache?)")
-        # Incremental flush in PRINT order: emit any decided line whose
-        # STAGES predecessors are all emitted — completed lines reach the
-        # record as early as possible (a driver-side kill still captures
-        # them) while the headline, printed last in STAGES, never precedes
-        # the others.
-        for pname, _, _ in STAGES:
-            if pname not in lines:
-                break
-            if lines[pname] is not None:
-                print(lines[pname], flush=True)
-                lines[pname] = None
-    # Anything left (possible only via a logic bug): emit rather than drop.
-    for name, _, _ in STAGES:
-        if lines.get(name) is not None:
-            print(lines[name], flush=True)
+                    # SIGTERM first: give the plugin its atexit to release the
+                    # TPU claim cleanly (a hard kill mid-claim wedges the
+                    # tunnel for minutes, CLAUDE.md), then escalate.
+                    proc.send_signal(signal.SIGTERM)
+                    try:
+                        proc.wait(timeout=30)
+                    except subprocess.TimeoutExpired:
+                        proc.kill()
+                        proc.wait()
+                    line = _skip_line(
+                        metric, f"compile budget: exceeded {slice_s:.0f}s slice "
+                                "(cold tunnel-session cache?)")
+        print(line, flush=True)
+        last_printed = name
+        if name == headline:
+            headline_line = line
+    # The driver parses the FINAL line: re-print the headline (measured first
+    # for budget priority) unless it already is the last line.
+    if headline_line is not None and last_printed != headline:
+        print(headline_line, flush=True)
 
 
 def main():

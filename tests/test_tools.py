@@ -424,26 +424,30 @@ def test_onestep_io_bench_smoke(tmp_path):
 
 def test_bench_orchestration_order_and_skips():
     """bench.py budget orchestration: the headline stage gets budget PRIORITY
-    (runs first) but its line prints LAST (the driver parses the final line);
-    an exhausted budget yields explicit skip markers in the same print order."""
+    (runs + prints first, so a driver-side kill mid-bench still records it)
+    and its line is RE-printed last (the driver parses the final line); an
+    exhausted budget yields explicit skip markers with the same contract."""
     headline = "sd15_fullwidth_distill_images_per_sec_per_chip"
-    # (a) real subprocess path via the selftest hook: all three lines, ordered.
+    # (a) real subprocess path via the selftest hook: completion order with
+    # the headline first AND re-printed last.
     env = dict(os.environ, SIDLSG_BENCH_SELFTEST="1", SIDLSG_BENCH_BUDGET_S="600")
     r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                        text=True, timeout=300, cwd="/root/repo", env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
     assert [l["metric"] for l in lines] == [
+        headline,
         "onestep_512px_images_per_sec_per_chip",
         "sd15_halfwidth_fullpsi_distill_images_per_sec_per_chip",
         headline,
     ]
     assert all(l.get("selftest") and l["value"] == 1.0 for l in lines)
-    # (b) exhausted budget: three explicit skip markers, headline still last.
+    assert lines[0] == lines[-1]
+    # (b) exhausted budget: explicit skip markers, headline still the final line.
     env["SIDLSG_BENCH_BUDGET_S"] = "1"
     r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                        text=True, timeout=300, cwd="/root/repo", env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
-    assert len(lines) == 3 and lines[-1]["metric"] == headline
+    assert len(lines) == 4 and lines[-1]["metric"] == headline
     assert all(l["value"] is None and "skipped" in l for l in lines)
