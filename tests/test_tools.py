@@ -451,3 +451,25 @@ def test_bench_orchestration_order_and_skips():
     lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
     assert len(lines) == 4 and lines[-1]["metric"] == headline
     assert all(l["value"] is None and "skipped" in l for l in lines)
+
+
+def test_bench_train_step_fsdp_recipe_smoke(tmp_path):
+    """The pinned pod bench recipe (PODDAY.md: bench_train_step --fsdp/--dp)
+    builds the dp x fsdp mesh, applies the production FSDP placement and
+    shard_map kernel scoping, and reports per-chip throughput — smoked on a
+    4-virtual-device CPU mesh with the tiny preset so the recipe cannot rot
+    between pod sessions."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = subprocess.run(
+        [sys.executable, "scripts/bench_train_step.py", "--model", "tiny",
+         "--mb", "4", "--fsdp", "2", "--dp", "2", "--iters", "1",
+         "--remat", "0"],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    line = json.loads([l for l in r.stdout.strip().splitlines()
+                       if l.startswith("{")][-1])
+    assert line["mesh"] == {"dp": 2, "fsdp": 2}
+    assert np.isfinite(line["img_per_sec_per_chip"]) and line["img_per_sec_per_chip"] > 0
