@@ -50,7 +50,10 @@ BASELINE_A100_IMG_PER_SEC = 12.0  # inference, documented estimate (docstring)
 BASELINE_TRAIN_PAPER_CFG = 0.55  # img/s, fp32 paper config estimate
 BASELINE_TRAIN_FP16 = 5.5  # img/s, fp16+xformers estimate
 V5E_BF16_PEAK_FLOPS = 197e12
-BATCH = int(os.environ.get("SIDLSG_BENCH_BATCH", "8"))
+# Batch sweep on the chip (2026-08-20): b8 33.3, b16 34.7, b32 35.5 img/s —
+# the batch dimension amortizes VPU/HBM fixed costs; 32 is the measured
+# knee (BENCH_NOTES).  The A100 reference estimate already assumes b16.
+BATCH = int(os.environ.get("SIDLSG_BENCH_BATCH", "32"))
 ITERS = 10
 TRAIN_MB = 4  # single-chip max at full width with the bf16-teacher recipe
 TRAIN_ITERS = 3
