@@ -364,8 +364,14 @@ def _orchestrate() -> None:
         last_printed = name
         if name == headline:
             headline_line = line
-    # The driver parses the FINAL line: re-print the headline (measured first
-    # for budget priority) unless it already is the last line.
+        elif headline_line is not None:
+            # Re-assert the headline after EVERY later line: the driver
+            # parses the final stdout line as the round's metric, and a
+            # driver-side kill can land between any two stages — the
+            # invariant "last complete line == headline" must hold at every
+            # instant, not only at clean exit.
+            print(headline_line, flush=True)
+            last_printed = headline
     if headline_line is not None and last_printed != headline:
         print(headline_line, flush=True)
 

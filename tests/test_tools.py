@@ -428,8 +428,9 @@ def test_bench_orchestration_order_and_skips():
     and its line is RE-printed last (the driver parses the final line); an
     exhausted budget yields explicit skip markers with the same contract."""
     headline = "sd15_fullwidth_distill_images_per_sec_per_chip"
-    # (a) real subprocess path via the selftest hook: completion order with
-    # the headline first AND re-printed last.
+    # (a) real subprocess path via the selftest hook: headline first, and
+    # RE-asserted after every later line so "last complete line == headline"
+    # holds at every instant a driver-side kill could land.
     env = dict(os.environ, SIDLSG_BENCH_SELFTEST="1", SIDLSG_BENCH_BUDGET_S="600")
     r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                        text=True, timeout=300, cwd="/root/repo", env=env)
@@ -438,18 +439,20 @@ def test_bench_orchestration_order_and_skips():
     assert [l["metric"] for l in lines] == [
         headline,
         "onestep_512px_images_per_sec_per_chip",
+        headline,
         "sd15_halfwidth_fullpsi_distill_images_per_sec_per_chip",
         headline,
     ]
     assert all(l.get("selftest") and l["value"] == 1.0 for l in lines)
     assert lines[0] == lines[-1]
-    # (b) exhausted budget: explicit skip markers, headline still the final line.
+    # (b) exhausted budget: explicit skip markers, headline still re-asserted
+    # after each later marker and final overall.
     env["SIDLSG_BENCH_BUDGET_S"] = "1"
     r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                        text=True, timeout=300, cwd="/root/repo", env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
-    assert len(lines) == 4 and lines[-1]["metric"] == headline
+    assert len(lines) == 5 and lines[-1]["metric"] == headline
     assert all(l["value"] is None and "skipped" in l for l in lines)
 
 
